@@ -1,0 +1,162 @@
+"""Checkpointing and legacy weight conversion.
+
+* Orbax save/restore for train state (replaces tf.train.Saver,
+  lib/fcn/train.py:38-56), with `max_to_keep` and `<prefix>_iter_N` naming.
+* `load_vgg16_npy`: Caffe-exported vgg16.npy dict -> param pytree, including
+  the reference's auto-duplication into `_p`/`_d` dual towers
+  (lib/networks/network.py:71-107).
+* `load_tf1_checkpoint`: released TF1 `.ckpt` -> param pytree. Variable
+  names map 1:1 (`conv1_1/weights` etc.); conv kernels are HWIO in both
+  frameworks and FC weights keep the 7x7x512 NHWC flatten order
+  (network.py:399-421), so tensors transfer without permutation.
+* `restore_partial`: name+shape-matched partial restore, skipping
+  unknown/mismatched entries (SolverWrapper.restore semantics,
+  train.py:58-91).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def save_checkpoint(directory: str, state, step: int, prefix: str = "posecnn", max_to_keep: int = 12):
+    import orbax.checkpoint as ocp
+
+    os.makedirs(directory, exist_ok=True)
+    path = os.path.join(os.path.abspath(directory), f"{prefix}_iter_{step}")
+    ckptr = ocp.StandardCheckpointer()
+    params, opt_state, step_arr = state
+    ckptr.save(path, {"params": params, "opt_state": opt_state, "step": step_arr}, force=True)
+    ckptr.wait_until_finished()
+    _prune_old(directory, prefix, max_to_keep)
+    return path
+
+
+def _prune_old(directory: str, prefix: str, max_to_keep: int):
+    entries = []
+    for name in os.listdir(directory):
+        if name.startswith(prefix + "_iter_"):
+            try:
+                entries.append((int(name.rsplit("_", 1)[1]), name))
+            except ValueError:
+                continue
+    entries.sort()
+    for _, name in entries[:-max_to_keep]:
+        import shutil
+
+        shutil.rmtree(os.path.join(directory, name), ignore_errors=True)
+
+
+def latest_checkpoint(directory: str, prefix: str = "posecnn") -> Optional[str]:
+    if not os.path.isdir(directory):
+        return None
+    best, path = -1, None
+    for name in os.listdir(directory):
+        if name.startswith(prefix + "_iter_"):
+            try:
+                step = int(name.rsplit("_", 1)[1])
+            except ValueError:
+                continue
+            if step > best:
+                best, path = step, os.path.join(directory, name)
+    return path
+
+
+def restore_checkpoint(path: str, target_state):
+    import orbax.checkpoint as ocp
+
+    params, opt_state, step_arr = target_state
+    ckptr = ocp.StandardCheckpointer()
+    restored = ckptr.restore(
+        os.path.abspath(path),
+        {"params": params, "opt_state": opt_state, "step": step_arr},
+    )
+    return (restored["params"], restored["opt_state"], restored["step"])
+
+
+# ---------------------------------------------------------------------------
+# Legacy weight converters
+# ---------------------------------------------------------------------------
+
+def load_vgg16_npy(path: str, params: Dict, dual_suffixes=("_p", "_d"), log=None) -> Dict:
+    """Merge a Caffe-exported vgg16.npy dict into an existing param pytree.
+
+    npy layout: {op_name: {'weights': w, 'biases': b}}. Like Network.load,
+    each op's weights are also copied into `<op>_p` / `<op>_d` scopes when
+    those exist in the target.
+    """
+    data = np.load(path, allow_pickle=True, encoding="latin1").item()
+    out = dict(params)
+    for op_name, values in data.items():
+        for scope in (op_name,) + tuple(op_name + s for s in dual_suffixes):
+            if scope not in out:
+                continue
+            tgt = dict(out[scope])
+            for param_name, value in values.items():
+                if param_name not in tgt:
+                    continue
+                if tuple(tgt[param_name].shape) != tuple(value.shape):
+                    if log:
+                        log(f"skip {scope}/{param_name}: shape {value.shape} vs {tgt[param_name].shape}")
+                    continue
+                tgt[param_name] = jnp.asarray(value, jnp.float32)
+                if log:
+                    log(f"{scope}/{param_name} assigned")
+            out[scope] = tgt
+    return out
+
+
+def load_tf1_checkpoint(path: str, params: Dict, log=None) -> Dict:
+    """Read a TF1 .ckpt (released PoseCNN demo model) into a param pytree.
+
+    Skips `global_step`, bare `Variable` and Momentum slots like
+    SolverWrapper.restore (train.py:58-91).
+    """
+    import tensorflow as tf  # CPU-only TF, used purely as a ckpt reader
+
+    reader = tf.train.load_checkpoint(path)
+    shapes = reader.get_variable_to_shape_map()
+    out = {k: dict(v) for k, v in params.items()}
+    n = 0
+    for var_name, shape in sorted(shapes.items()):
+        if var_name in ("global_step", "Variable") or "Momentum" in var_name:
+            continue
+        parts = var_name.split("/")
+        if len(parts) != 2:
+            continue
+        scope, pname = parts
+        if scope not in out or pname not in out[scope]:
+            if log:
+                log(f"skip {var_name}: not in target")
+            continue
+        value = reader.get_tensor(var_name)
+        if tuple(out[scope][pname].shape) != tuple(value.shape):
+            if log:
+                log(f"skip {var_name}: shape {value.shape} vs {out[scope][pname].shape}")
+            continue
+        out[scope][pname] = jnp.asarray(value, jnp.float32)
+        n += 1
+        if log:
+            log(f"{var_name} restored")
+    if log:
+        log(f"restored {n} tensors from {path}")
+    return out
+
+
+def restore_partial(source: Dict, target: Dict, log=None) -> Dict:
+    """Name+shape-matched merge of one param pytree into another."""
+    out = {k: dict(v) for k, v in target.items()}
+    for scope, values in source.items():
+        if scope not in out:
+            continue
+        for pname, value in values.items():
+            if pname in out[scope] and tuple(out[scope][pname].shape) == tuple(value.shape):
+                out[scope][pname] = value
+                if log:
+                    log(f"{scope}/{pname} restored")
+    return out

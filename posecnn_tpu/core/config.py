@@ -1,0 +1,316 @@
+"""Configuration tree for posecnn_tpu.
+
+Mirrors the reference config surface (yuxng/PoseCNN `lib/fcn/config.py:26-269`)
+so that the reference's experiment YAMLs (`experiments/cfgs/*.yml`) load
+unchanged, while replacing the global `easydict` singleton with typed
+dataclasses and an explicit, strict merge (same semantics as the reference's
+`_merge_a_into_b`: unknown keys and type mismatches are errors).
+
+TPU-specific additions live under `cfg.TPU` (mesh shape, dtype policy, fixed
+shape caps) — everything the reference left implicit because CUDA allowed
+dynamic shapes.
+"""
+
+from __future__ import annotations
+
+import copy
+import dataclasses
+import os
+import os.path as osp
+from dataclasses import dataclass, field
+from typing import Any, Optional, Tuple
+
+import numpy as np
+import yaml
+
+
+@dataclass
+class TrainConfig:
+    # Reference defaults: lib/fcn/config.py:52-238
+    WEIGHT_REG: float = 0.0001
+    SEGMENTATION: bool = True
+    SINGLE_FRAME: bool = False
+    TRAINABLE: bool = True
+    VERTEX_REG_2D: bool = False
+    VERTEX_REG_3D: bool = False
+    LABEL_W: float = 1.0
+    VERTEX_W: float = 5.0
+    VERTEX_W_INSIDE: float = 10.0
+    POSE_W: float = 1.0
+    THRESHOLD_LABEL: float = 1.0
+    VOTING_THRESHOLD: float = -1.0
+    VISUALIZE: bool = False
+    GAN: bool = False
+    POSE_REG: bool = False
+    MATCHING: bool = False
+
+    # synthetic training
+    SYNTHESIZE: bool = False
+    SYN_ONLINE: bool = False
+    SYN_WIDTH: int = 640
+    SYN_HEIGHT: int = 480
+    SYNROOT: str = "data/LOV/data_syn/"
+    SYNITER: int = 0
+    SYNNUM: int = 80000
+    SYN_RATIO: int = 1
+    SYN_CLASS_INDEX: int = 1
+    SYN_TNEAR: float = 0.5
+    SYN_TFAR: float = 2.0
+    SYN_SAMPLE_OBJECT: bool = True
+    SYN_SAMPLE_POSE: bool = False
+    SYN_BACKGROUND_SPECIFIC: bool = False
+
+    # domain adaptation
+    ADAPT: bool = False
+    ADAPT_ROOT: str = ""
+    ADAPT_NUM: int = 400
+    ADAPT_RATIO: int = 1
+    ADAPT_WEIGHT: float = 0.1
+
+    # learning rate
+    OPTIMIZER: str = "MOMENTUM"
+    LEARNING_RATE: float = 0.001
+    MOMENTUM: float = 0.9
+    GAMMA: float = 0.1
+    STEPSIZE: int = 30000
+    SYMSIZE: int = 0
+
+    GRID_SIZE: int = 256
+    SCALES_BASE: Tuple[float, ...] = (0.25, 0.5, 1.0, 2.0, 3.0)
+
+    # data augmentation
+    CHROMATIC: bool = True
+    ADD_NOISE: bool = False
+
+    IMS_PER_BATCH: int = 2
+    NUM_STEPS: int = 5
+    NUM_UNITS: int = 64
+    NUM_CLASSES: int = 10
+    USE_FLIPPED: bool = True
+
+    SNAPSHOT_ITERS: int = 10000
+    SNAPSHOT_PREFIX: str = "caffenet_fast_rcnn"
+    SNAPSHOT_INFIX: str = ""
+    DISPLAY: int = 20
+
+    USE_GT: bool = False
+    BATCH_SIZE: int = 128
+    FG_FRACTION: float = 0.25
+    FG_THRESH: float = 0.5
+    BG_THRESH_HI: float = 0.5
+    BG_THRESH_LO: float = 0.1
+
+    # RPN options (detection variant)
+    HAS_RPN: bool = True
+    RPN_POSITIVE_OVERLAP: float = 0.7
+    RPN_NEGATIVE_OVERLAP: float = 0.3
+    RPN_CLOBBER_POSITIVES: bool = False
+    RPN_FG_FRACTION: float = 0.5
+    RPN_BATCHSIZE: int = 256
+    RPN_NMS_THRESH: float = 0.7
+    RPN_PRE_NMS_TOP_N: int = 12000
+    RPN_POST_NMS_TOP_N: int = 2000
+    RPN_BBOX_INSIDE_WEIGHTS: Tuple[float, ...] = (1.0, 1.0, 1.0, 1.0)
+    RPN_POSITIVE_WEIGHT: float = -1.0
+    BBOX_NORMALIZE_TARGETS: bool = True
+    BBOX_INSIDE_WEIGHTS: Tuple[float, ...] = (1.0, 1.0, 1.0, 1.0)
+    BBOX_NORMALIZE_TARGETS_PRECOMPUTED: bool = True
+    BBOX_NORMALIZE_MEANS: Tuple[float, ...] = (0.0, 0.0, 0.0, 0.0)
+    BBOX_NORMALIZE_STDS: Tuple[float, ...] = (0.1, 0.1, 0.2, 0.2)
+
+
+@dataclass
+class TestConfig:
+    # Reference defaults: lib/fcn/config.py:205-238
+    SEGMENTATION: bool = True
+    SINGLE_FRAME: bool = False
+    VERTEX_REG_2D: bool = False
+    VERTEX_REG_3D: bool = False
+    VISUALIZE: bool = False
+    RANSAC: bool = False
+    GAN: bool = False
+    POSE_REG: bool = False
+    POSE_REFINE: bool = False
+    SYNTHETIC: bool = False
+    VOTING_THRESHOLD: float = -1.0
+    SCALES_BASE: Tuple[float, ...] = (0.25, 0.5, 1.0, 2.0, 3.0)
+    GRID_SIZE: int = 256
+    RPN_NMS_THRESH: float = 0.7
+    RPN_PRE_NMS_TOP_N: int = 6000
+    RPN_POST_NMS_TOP_N: int = 300
+    BBOX_REG: bool = True
+    NMS: float = 0.3
+
+
+@dataclass
+class TPUConfig:
+    """TPU-native knobs with no reference counterpart."""
+
+    # mesh: data-parallel axis size 0 = use all local devices
+    MESH_DATA: int = 0
+    MESH_MODEL: int = 1
+    # compute dtype for the conv trunk ('bfloat16' or 'float32'); params stay f32
+    COMPUTE_DTYPE: str = "bfloat16"
+    # fixed-shape caps (CUDA used dynamic allocation + host round trips;
+    # hough_voting_gpu_op.cu.cc:14 fixes MAX_ROI=128)
+    MAX_ROI: int = 128
+    MAX_DETECTIONS_TEST: int = 32
+    MAX_GT: int = 24
+    # per-class pixel sample cap inside hough voting (reference samples the
+    # class-pixel list with stride skip_pixels; we compact to a fixed budget)
+    HOUGH_MAX_SAMPLES: int = 1024
+    # stride of the coarse center grid for hough voting (1 = exact reference
+    # semantics; >1 = coarse-to-fine with exact local refinement)
+    HOUGH_CENTER_STRIDE: int = 4
+    # number of active-class slots processed by hough voting
+    HOUGH_CLASS_SLOTS: int = 8
+    # point cap for the ADD/ADD-S loss (reference uses the min point count
+    # over classes, lov.py:141-158)
+    ADD_NUM_POINTS: int = 1024
+    # host prefetch depth (reference: tf.FIFOQueue(25), vgg16_convs.py:45)
+    PREFETCH: int = 4
+    # ICP refinement iterations (JAX Gauss-Newton; replaces synthesize.cpp solveICP)
+    ICP_ITERS: int = 20
+    DONATE_BATCH: bool = True
+
+
+@dataclass
+class Config:
+    # Reference defaults: lib/fcn/config.py:31-49, 240-269
+    FLIP_X: bool = False
+    INPUT: str = "RGBD"
+    NETWORK: str = "VGG16"
+    RIG: str = ""
+    CAD: str = ""
+    POSE: str = ""
+    BACKGROUND: str = ""
+    USE_GPU_NMS: bool = True
+    ANCHOR_SCALES: Tuple[float, ...] = (8, 16, 32)
+    ANCHOR_RATIOS: Tuple[float, ...] = (0.5, 1, 2)
+    FEATURE_STRIDE: int = 16
+    TRAIN: TrainConfig = field(default_factory=TrainConfig)
+    TEST: TestConfig = field(default_factory=TestConfig)
+    TPU: TPUConfig = field(default_factory=TPUConfig)
+    # BGR pixel means, shape (1,1,3) — reference config.py:242 (cv2 BGR order!)
+    PIXEL_MEANS: Tuple[float, ...] = (102.9801, 115.9465, 122.7717)
+    RNG_SEED: int = 3
+    EPS: float = 1e-14
+    ROOT_DIR: str = osp.abspath(osp.join(osp.dirname(__file__), "..", ".."))
+    EXP_DIR: str = "default"
+    GPU_ID: int = 0
+
+    def pixel_means(self) -> np.ndarray:
+        return np.array(self.PIXEL_MEANS, dtype=np.float64).reshape(1, 1, 3)
+
+
+# Global config instance, like the reference's `cfg` singleton
+# (lib/fcn/config.py:26-29). Modules read it at call time, never at trace time
+# inside jit — jitted functions receive explicit static arguments instead.
+cfg = Config()
+
+
+class ConfigError(KeyError):
+    pass
+
+
+def _merge_into(dc: Any, overrides: dict, path: str = "") -> None:
+    """Strict merge of a dict into a dataclass tree.
+
+    Same contract as the reference `_merge_a_into_b` (lib/fcn/config.py:271-298):
+    every key must already exist; value types must match (int/float coercion
+    allowed the same way numpy would allow it); nested dicts recurse.
+    """
+    names = {f.name: f for f in dataclasses.fields(dc)}
+    for key, value in overrides.items():
+        if key not in names:
+            raise ConfigError(f"{path}{key} is not a valid config key")
+        current = getattr(dc, key)
+        if dataclasses.is_dataclass(current):
+            if not isinstance(value, dict):
+                raise ConfigError(f"{path}{key}: expected a mapping")
+            _merge_into(current, value, path=f"{path}{key}.")
+            continue
+        coerced = _coerce(value, current, f"{path}{key}")
+        setattr(dc, key, coerced)
+
+
+def _coerce(value: Any, old: Any, where: str) -> Any:
+    if old is None:
+        return value
+    if isinstance(old, bool):
+        if isinstance(value, bool):
+            return value
+        raise ConfigError(f"{where}: expected bool, got {type(value).__name__}")
+    if isinstance(old, float):
+        if isinstance(value, (int, float)):
+            return float(value)
+        raise ConfigError(f"{where}: expected float, got {type(value).__name__}")
+    if isinstance(old, int):
+        if isinstance(value, bool):
+            raise ConfigError(f"{where}: expected int, got bool")
+        if isinstance(value, int):
+            return value
+        if isinstance(value, float) and value.is_integer():
+            return int(value)
+        raise ConfigError(f"{where}: expected int, got {type(value).__name__}")
+    if isinstance(old, str):
+        if isinstance(value, str):
+            return value
+        raise ConfigError(f"{where}: expected str, got {type(value).__name__}")
+    if isinstance(old, tuple):
+        if isinstance(value, (list, tuple)):
+            return tuple(value)
+        raise ConfigError(f"{where}: expected sequence, got {type(value).__name__}")
+    return value
+
+
+def _yaml_load(filename: str) -> dict:
+    # Reference YAMLs contain `!!python/tuple` tags (e.g. lov_color_2d.yml:12);
+    # register a safe constructor for just that tag rather than unsafe_load.
+    class _Loader(yaml.SafeLoader):
+        pass
+
+    _Loader.add_constructor(
+        "tag:yaml.org,2002:python/tuple",
+        lambda loader, node: tuple(loader.construct_sequence(node)),
+    )
+    with open(filename, "r") as f:
+        return yaml.load(f, Loader=_Loader) or {}
+
+
+def cfg_from_file(filename: str, target: Optional[Config] = None) -> Config:
+    """Load a YAML config file and merge it into the (global) config."""
+    target = cfg if target is None else target
+    _merge_into(target, _yaml_load(filename))
+    return target
+
+
+def cfg_fresh(filename: Optional[str] = None) -> Config:
+    """Build an isolated Config (for tests / parallel experiments)."""
+    c = Config()
+    if filename is not None:
+        cfg_from_file(filename, target=c)
+    return c
+
+
+def cfg_replace(target: Config, **kwargs) -> Config:
+    out = copy.deepcopy(target)
+    _merge_into(out, kwargs)
+    return out
+
+
+def get_output_dir(imdb_name: str, net_name: Optional[str] = None, config: Optional[Config] = None) -> str:
+    """Artifact directory: output/<EXP_DIR>/<imdb>[/<net>].
+
+    Same layout as the reference (lib/fcn/config.py:253-269).
+    """
+    config = cfg if config is None else config
+    path = osp.abspath(osp.join(config.ROOT_DIR, "output", config.EXP_DIR, imdb_name))
+    if net_name is None:
+        return path
+    return osp.join(path, net_name)
+
+
+def ensure_dir(path: str) -> str:
+    os.makedirs(path, exist_ok=True)
+    return path

@@ -1,0 +1,48 @@
+"""Profiling hooks (reference had only a wall-clock Timer, SURVEY §5).
+
+Thin wrappers around jax.profiler: a trace context for capturing device
+profiles viewable in TensorBoard/XProf, and a block-timer that synchronizes
+on device work.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+
+import jax
+
+
+@contextlib.contextmanager
+def trace(logdir: str):
+    jax.profiler.start_trace(logdir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+@contextlib.contextmanager
+def device_timer(name: str, results: dict | None = None):
+    """Times a block including device completion (blocks on async dispatch)."""
+    start = time.perf_counter()
+    yield
+    # block until all device work is done
+    jax.block_until_ready(jax.device_put(0.0))
+    dt = time.perf_counter() - start
+    if results is not None:
+        results[name] = results.get(name, 0.0) + dt
+    else:
+        print(f"[timer] {name}: {dt * 1000:.2f} ms")
+
+
+def annotate(name: str):
+    """Named trace annotation decorator for profiler visibility."""
+    def deco(fn):
+        def wrapped(*a, **k):
+            with jax.profiler.TraceAnnotation(name):
+                return fn(*a, **k)
+
+        return wrapped
+
+    return deco

@@ -1,0 +1,43 @@
+"""Dataset factory (lib/datasets/factory.py): name -> constructor registry."""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+_REGISTRY: Dict[str, Callable] = {}
+
+
+def register(name: str, ctor: Callable):
+    _REGISTRY[name] = ctor
+
+
+def get_imdb(name: str):
+    if name not in _REGISTRY:
+        raise KeyError(f"Unknown dataset: {name}. Known: {sorted(_REGISTRY)}")
+    return _REGISTRY[name]()
+
+
+def list_imdbs():
+    return sorted(_REGISTRY)
+
+
+def _install_defaults():
+    from posecnn_tpu.data.lov import lov
+    from posecnn_tpu.data.toy import toy
+
+    for split in ("train", "val", "keyframe", "trainval", "debug", "train_few", "val_few"):
+        register(f"lov_{split}", lambda s=split: lov(s))
+    for split in ("train", "val"):
+        register(f"toy_{split}", lambda s=split: toy(s))
+    # linemod / ycb / rgbd_scene etc. register lazily as their modules land
+    try:
+        from posecnn_tpu.data.linemod import linemod
+
+        for cls in linemod.LINEMOD_CLASSES[1:]:
+            for split in ("train", "test"):
+                register(f"linemod_{cls}_{split}", lambda c=cls, s=split: linemod(c, s))
+    except ImportError:
+        pass
+
+
+_install_defaults()

@@ -1,0 +1,260 @@
+"""Training engine: jit-compiled data-parallel train step + solver loop.
+
+Replaces the reference driver (`lib/fcn/train.py`):
+  * losses assembled exactly like `train_net` (train.py:478-534): hard-label
+    cross entropy + weighted smooth-L1 vertex loss + ADD/ADD-S pose loss +
+    L2 weight regularization (+ optional domain-adversarial CE);
+  * optimizer: SGD momentum with staircase exponential LR decay
+    (train.py:529-534) via optax;
+  * one fused jit step (forward + hough + heads + backward + update) —
+    the reference ran this as one TF session graph per iteration;
+  * data parallelism over a `Mesh`'s "data" axis: params replicated, batch
+    sharded, gradient psum inserted by XLA from output shardings (the
+    reference is single-device; SURVEY.md §2.3).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from posecnn_tpu.models.posecnn import PoseCNNConfig, init_posecnn_params, posecnn_forward
+from posecnn_tpu.ops.add_loss import average_distance_loss
+from posecnn_tpu.ops.losses import (
+    loss_cross_entropy_single_frame,
+    smooth_l1_loss_vertex,
+    sparse_softmax_cross_entropy,
+)
+from posecnn_tpu.parallel.mesh import DATA_AXIS, batch_sharding, make_mesh, replicated
+
+
+@dataclass(frozen=True)
+class TrainHParams:
+    learning_rate: float = 0.001
+    momentum: float = 0.9
+    gamma: float = 0.1
+    stepsize: int = 30000
+    weight_reg: float = 0.0001
+    vertex_w: float = 5.0
+    pose_w: float = 1.0
+    adapt_weight: float = 0.1
+    margin: float = 0.01  # ADD loss hinge (vgg16_convs.py:194)
+
+
+def lr_schedule(hp: TrainHParams):
+    """tf.train.exponential_decay(staircase=True) equivalent."""
+    return optax.exponential_decay(
+        init_value=hp.learning_rate,
+        transition_steps=hp.stepsize,
+        decay_rate=hp.gamma,
+        staircase=True,
+    )
+
+
+def make_optimizer(hp: TrainHParams):
+    return optax.sgd(lr_schedule(hp), momentum=hp.momentum, nesterov=False)
+
+
+def regularization_loss(params: Dict, scale: float) -> jnp.ndarray:
+    """tf.contrib.layers.l2_regularizer: scale * sum(w^2)/2 over conv/fc
+    weights+biases; bilinear deconv filters carry no regularizer
+    (network.py:166-186 vs make_deconv_filter:141-157)."""
+    total = 0.0
+    for name, p in params.items():
+        if name.startswith("upscore"):
+            continue
+        for leaf in p.values():
+            total = total + jnp.sum(jnp.square(leaf))
+    return scale * 0.5 * total
+
+
+def compute_losses(
+    params: Dict,
+    model_cfg: PoseCNNConfig,
+    hp: TrainHParams,
+    batch: Dict[str, jnp.ndarray],
+    points: jnp.ndarray,
+    symmetry: jnp.ndarray,
+    extents: jnp.ndarray,
+    rng: jax.Array,
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    out = posecnn_forward(
+        params,
+        model_cfg,
+        batch["data"],
+        extents,
+        batch["meta_data"],
+        gt_poses=batch.get("poses"),
+        gt_label_2d=batch["gt_label_2d"],
+        data_p=batch.get("data_p"),
+        rng=rng,
+    )
+    losses: Dict[str, jnp.ndarray] = {}
+    loss = regularization_loss(params, hp.weight_reg)
+    losses["loss_regu"] = loss
+
+    loss_cls = loss_cross_entropy_single_frame(out["prob"], out["gt_label_weight"])
+    losses["loss_cls"] = loss_cls
+    loss = loss + loss_cls
+
+    if model_cfg.vertex_reg:
+        loss_vertex = hp.vertex_w * smooth_l1_loss_vertex(
+            out["vertex_pred"], batch["vertex_targets"], batch["vertex_weights"]
+        )
+        losses["loss_vertex"] = loss_vertex
+        loss = loss + loss_vertex
+
+        if model_cfg.pose_reg:
+            loss_pose = hp.pose_w * average_distance_loss(
+                out["poses_pred"],
+                out["poses_target"],
+                out["poses_weight"],
+                points,
+                symmetry,
+                hp.margin,
+            )
+            losses["loss_pose"] = loss_pose
+            loss = loss + loss_pose
+
+            if model_cfg.adaptation:
+                loss_domain = hp.adapt_weight * sparse_softmax_cross_entropy(
+                    out["domain_score"], out["label_domain"]
+                )
+                losses["loss_domain"] = loss_domain
+                loss = loss + loss_domain
+
+    losses["loss"] = loss
+    return loss, losses
+
+
+def make_train_step(
+    model_cfg: PoseCNNConfig,
+    hp: TrainHParams,
+    mesh: Mesh,
+    points: jnp.ndarray,
+    symmetry: jnp.ndarray,
+    extents: jnp.ndarray,
+    donate: bool = True,
+) -> Callable:
+    """Build the jitted, mesh-sharded train step.
+
+    state: (params, opt_state, step); batch: dict of host arrays.
+    Returns (state, metrics) with metrics replicated.
+    """
+    tx = make_optimizer(hp)
+    sched = lr_schedule(hp)
+
+    def step_fn(state, batch, rng):
+        params, opt_state, step = state
+        (loss, losses), grads = jax.value_and_grad(
+            compute_losses, has_aux=True
+        )(params, model_cfg, hp, batch, points, symmetry, extents, rng)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        losses["lr"] = sched(step)
+        return (params, opt_state, step + 1), losses
+
+    repl = replicated(mesh)
+    bsh = batch_sharding(mesh)
+
+    def batch_shardings(batch):
+        out = {}
+        for k, v in batch.items():
+            # per-image arrays shard over data; global blobs replicate
+            if k in ("data", "data_p", "gt_label_2d", "vertex_targets", "vertex_weights", "meta_data"):
+                out[k] = bsh
+            else:
+                out[k] = repl
+        return out
+
+    def jitted(state, batch, rng):
+        shardings = batch_shardings(batch)
+        f = jax.jit(
+            step_fn,
+            in_shardings=((repl, repl, repl), shardings, repl),
+            out_shardings=((repl, repl, repl), repl),
+            donate_argnums=(0,) if donate else (),
+        )
+        return f(state, batch, rng)
+
+    return jitted
+
+
+def create_train_state(model_cfg: PoseCNNConfig, hp: TrainHParams, rng: jax.Array):
+    params = init_posecnn_params(rng, model_cfg)
+    tx = make_optimizer(hp)
+    opt_state = tx.init(params)
+    return (params, opt_state, jnp.asarray(0, jnp.int32))
+
+
+class Solver:
+    """Iteration loop with snapshotting — `SolverWrapper` (train.py:22-91).
+
+    data_layer must yield batch dicts; snapshots go through
+    `posecnn_tpu.core.checkpoint`.
+    """
+
+    def __init__(
+        self,
+        model_cfg: PoseCNNConfig,
+        hp: TrainHParams,
+        mesh: Optional[Mesh] = None,
+        points=None,
+        symmetry=None,
+        extents=None,
+        output_dir: Optional[str] = None,
+        snapshot_iters: int = 10000,
+        snapshot_prefix: str = "posecnn",
+        display: int = 20,
+        seed: int = 3,
+    ):
+        self.model_cfg = model_cfg
+        self.hp = hp
+        self.mesh = mesh or make_mesh()
+        self.points = jnp.asarray(points)
+        self.symmetry = jnp.asarray(symmetry)
+        self.extents = jnp.asarray(extents)
+        self.output_dir = output_dir
+        self.snapshot_iters = snapshot_iters
+        self.snapshot_prefix = snapshot_prefix
+        self.display = display
+        self.rng = jax.random.PRNGKey(seed)
+        self.step_fn = make_train_step(
+            model_cfg, hp, self.mesh, self.points, self.symmetry, self.extents
+        )
+
+    def train(self, data_iter, state, max_iters: int, log: Optional[Callable] = print):
+        import time
+
+        from posecnn_tpu.utils.timer import Timer
+
+        timer = Timer()
+        metrics = None
+        for it in range(max_iters):
+            batch = next(data_iter)
+            self.rng, sub = jax.random.split(self.rng)
+            timer.tic()
+            state, metrics = self.step_fn(state, batch, sub)
+            if (it + 1) % self.display == 0 and log is not None:
+                m = {k: float(v) for k, v in metrics.items()}
+                timer.toc(average=False)
+                log(
+                    f"iter {it + 1}/{max_iters} "
+                    + " ".join(f"{k}: {v:.4f}" for k, v in sorted(m.items()))
+                    + f" ({timer.diff:.3f}s/{self.display}it)"
+                )
+                timer.tic()
+            if self.output_dir and (it + 1) % self.snapshot_iters == 0:
+                self.snapshot(state, it + 1)
+        return state, metrics
+
+    def snapshot(self, state, it: int):
+        from posecnn_tpu.core.checkpoint import save_checkpoint
+
+        save_checkpoint(self.output_dir, state, step=it, prefix=self.snapshot_prefix)

@@ -1,0 +1,160 @@
+"""Golden tests for hough_voting against a loop-level NumPy oracle."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from posecnn_tpu.ops.hough_voting import hough_voting
+from tests.ref_ops import hough_argmax_ref
+
+H, W = 24, 32
+C = 4
+
+
+def _scene(seed=0):
+    """Two blobs of class pixels whose directions point at known centers."""
+    rng = np.random.RandomState(seed)
+    label = np.zeros((H, W), dtype=np.int32)
+    vertex = rng.randn(H, W, 3 * C).astype(np.float32) * 0.1
+    centers = {1: (10.0, 8.0), 2: (24.0, 15.0)}
+    depths = {1: 0.8, 2: 1.2}
+    for cls, (cx, cy) in centers.items():
+        for y in range(H):
+            for x in range(W):
+                if (x - cx) ** 2 + (y - cy) ** 2 < 36:
+                    label[y, x] = cls
+                    dx, dy = cx - x, cy - y
+                    n = np.sqrt(dx * dx + dy * dy) + 1e-10
+                    vertex[y, x, 3 * cls + 0] = dx / n
+                    vertex[y, x, 3 * cls + 1] = dy / n
+                    vertex[y, x, 3 * cls + 2] = np.log(depths[cls])
+    extents = np.zeros((C, 3), dtype=np.float32)
+    extents[1] = [0.2, 0.25, 0.2]
+    extents[2] = [0.3, 0.2, 0.25]
+    extents[3] = [0.1, 0.1, 0.1]
+    meta = np.zeros(48, dtype=np.float32)
+    meta[0], meta[4] = 60.0, 60.0  # fx, fy
+    meta[2], meta[5] = W / 2.0, H / 2.0  # px, py
+    return label, vertex, extents, meta, centers, depths
+
+
+def _run(label, vertex, extents, meta, is_train=False, gt=None, stride=1, skip=1):
+    gt = np.zeros((3, 13), dtype=np.float32) if gt is None else gt
+    return hough_voting(
+        jnp.asarray(label[None]),
+        jnp.asarray(vertex[None]),
+        jnp.asarray(extents),
+        jnp.asarray(meta[None]),
+        jnp.asarray(gt),
+        num_classes=C,
+        is_train=is_train,
+        skip_pixels=skip,
+        label_threshold=10,
+        class_slots=3,
+        max_samples=128,
+        center_stride=stride,
+        refine_window=8,
+        sample_chunk=32,
+    )
+
+
+def test_hough_matches_reference_exact_grid():
+    label, vertex, extents, meta, centers, depths = _scene()
+    out = _run(label, vertex, extents, meta, stride=1)
+    ref = hough_argmax_ref(label, vertex, extents, meta, C, skip_pixels=1, label_threshold=10)
+
+    rois = np.asarray(out.rois)
+    poses = np.asarray(out.poses_init)
+    valid = np.asarray(out.valid)
+    assert int(out.num_rois) == len(ref)
+
+    got = {int(rois[i, 1]): i for i in range(len(valid)) if valid[i]}
+    assert set(got.keys()) == set(ref.keys())
+    fx, px, fy, py = meta[0], meta[2], meta[4], meta[5]
+    for cls, (cx, cy, votes, dist, bbw, bbh) in ref.items():
+        i = got[cls]
+        # box center and score
+        np.testing.assert_allclose(rois[i, 6], votes, rtol=1e-5)
+        np.testing.assert_allclose(rois[i, 2], cx - bbw * 0.55, atol=1e-3)
+        np.testing.assert_allclose(rois[i, 3], cy - bbh * 0.55, atol=1e-3)
+        np.testing.assert_allclose(rois[i, 4], cx + bbw * 0.55, atol=1e-3)
+        np.testing.assert_allclose(rois[i, 5], cy + bbh * 0.55, atol=1e-3)
+        # initial pose
+        np.testing.assert_allclose(poses[i, :4], [1, 0, 0, 0])
+        np.testing.assert_allclose(poses[i, 4], (cx - px) / fx * dist, rtol=1e-4)
+        np.testing.assert_allclose(poses[i, 5], (cy - py) / fy * dist, rtol=1e-4)
+        np.testing.assert_allclose(poses[i, 6], dist, rtol=1e-4)
+        # recovered center should be near the true one
+        assert abs(cx - centers[cls][0]) <= 1.5
+        assert abs(cy - centers[cls][1]) <= 1.5
+        assert abs(dist - depths[cls]) < 1e-3
+
+
+def test_hough_coarse_to_fine_close_to_exact():
+    label, vertex, extents, meta, _, _ = _scene()
+    exact = _run(label, vertex, extents, meta, stride=1)
+    coarse = _run(label, vertex, extents, meta, stride=2)
+    re, ce = np.asarray(exact.rois), np.asarray(coarse.rois)
+    ve = np.asarray(exact.valid)
+    for i in range(len(ve)):
+        if ve[i]:
+            # centers within the refinement window of each other
+            assert abs((re[i, 2] + re[i, 4]) / 2 - (ce[i, 2] + ce[i, 4]) / 2) <= 2.0
+            assert abs((re[i, 3] + re[i, 5]) / 2 - (ce[i, 3] + ce[i, 5]) / 2) <= 2.0
+
+
+def test_hough_training_targets_and_jitter():
+    label, vertex, extents, meta, centers, depths = _scene()
+    # GT pose rows: (batch, cls, x1,y1,x2,y2 unused..., quat, T)
+    gt = np.zeros((3, 13), dtype=np.float32)
+    fx, px, fy, py = meta[0], meta[2], meta[4], meta[5]
+    for row, cls in enumerate([1, 2]):
+        cx, cy = centers[cls]
+        z = depths[cls]
+        q = np.array([0.5, 0.5, 0.5, 0.5], dtype=np.float32)
+        t = np.array([(cx - px) / fx * z, (cy - py) / fy * z, z], dtype=np.float32)
+        gt[row, 0] = 0
+        gt[row, 1] = cls
+        gt[row, 6:10] = q
+        gt[row, 10:13] = t
+    out = _run(label, vertex, extents, meta, is_train=True, gt=gt)
+    rois = np.asarray(out.rois)
+    valid = np.asarray(out.valid)
+    tgt = np.asarray(out.poses_target)
+    wgt = np.asarray(out.poses_weight)
+
+    assert int(out.num_rois) == 2 * 9  # two detections x 9 jittered rows
+    vidx = np.where(valid)[0]
+    assert len(vidx) == 18
+    for i in vidx:
+        cls = int(rois[i, 1])
+        assert wgt[i, 4 * cls : 4 * cls + 4].tolist() == [1, 1, 1, 1]
+        np.testing.assert_allclose(tgt[i, 4 * cls : 4 * cls + 4], [0.5, 0.5, 0.5, 0.5])
+        # weights zero everywhere else
+        w = wgt[i].copy()
+        w[4 * cls : 4 * cls + 4] = 0
+        assert w.sum() == 0
+    # 9 jitter rows per class share width/height
+    for cls in (1, 2):
+        rows = [i for i in vidx if int(rois[i, 1]) == cls]
+        assert len(rows) == 9
+        ws = rois[rows, 4] - rois[rows, 2]
+        hs = rois[rows, 5] - rois[rows, 3]
+        np.testing.assert_allclose(ws, ws[0], rtol=1e-5)
+        np.testing.assert_allclose(hs, hs[0], rtol=1e-5)
+        # the 9 top-left corners are distinct jitters
+        assert len({(round(float(rois[i, 2]), 3), round(float(rois[i, 3]), 3)) for i in rows}) >= 8
+
+
+def test_hough_skip_pixels_subsamples():
+    label, vertex, extents, meta, _, _ = _scene()
+    out1 = _run(label, vertex, extents, meta, skip=1)
+    out3 = _run(label, vertex, extents, meta, skip=3)
+    ref3 = hough_argmax_ref(label, vertex, extents, meta, C, skip_pixels=3, label_threshold=10)
+    rois3 = np.asarray(out3.rois)
+    valid3 = np.asarray(out3.valid)
+    got = {int(rois3[i, 1]): i for i in range(len(valid3)) if valid3[i]}
+    for cls, (cx, cy, votes, dist, bbw, bbh) in ref3.items():
+        i = got[cls]
+        np.testing.assert_allclose(rois3[i, 6], votes, rtol=1e-5)
+    # fewer samples -> fewer votes than skip=1
+    assert np.asarray(out3.rois)[:, 6].max() < np.asarray(out1.rois)[:, 6].max()
