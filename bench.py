@@ -1,0 +1,59 @@
+"""Benchmark: full 21-object PoseCNN inference, raw 640x480 frame -> poses.
+
+Prints ONE JSON line:
+  {"metric": "inference_fps_per_chip", "value": N, "unit": "frames/sec",
+   "vs_baseline": N/60}
+
+Baseline: 60 fps/chip target from BASELINE.md (the reference publishes no
+numbers; its per-frame runtime prints on a 2017 GPU were ~0.1-0.3 s/frame,
+i.e. 3-10 fps).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import entry
+
+    fn, (params, raw, meta, extents) = entry()
+    jfn = jax.jit(fn)
+
+    # realistic inputs: random image bytes (content doesn't change the work:
+    # fixed shapes everywhere, label map just selects hough slots)
+    rng = np.random.RandomState(0)
+    raw = jnp.asarray(rng.randint(0, 255, size=raw.shape, dtype=np.uint8))
+
+    out = jfn(params, raw, meta, extents)
+    jax.block_until_ready(out)
+
+    # steady state timing
+    iters = 30
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = jfn(params, raw, meta, extents)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    fps = iters / dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "inference_fps_per_chip",
+                "value": round(fps, 2),
+                "unit": "frames/sec (640x480, 22-class PoseCNN, raw->poses)",
+                "vs_baseline": round(fps / 60.0, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

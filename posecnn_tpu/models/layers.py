@@ -73,6 +73,11 @@ def conv2d(
 ) -> jnp.ndarray:
     w = params["weights"]
     if compute_dtype is not None:
+        # run the conv in the compute dtype (MXU accumulates f32 internally
+        # for bf16 on TPU) and upcast the result; keeping both operands and
+        # the output in one dtype keeps the autodiff transpose rules
+        # well-typed (preferred_element_type=f32 over bf16 operands breaks
+        # the gradient convs with mixed dtypes)
         x = x.astype(compute_dtype)
         w = w.astype(compute_dtype)
     y = jax.lax.conv_general_dilated(
@@ -80,8 +85,8 @@ def conv2d(
         window_strides=(stride, stride),
         padding=padding,
         dimension_numbers=DN,
-        preferred_element_type=jnp.float32,
     )
+    y = y.astype(jnp.float32)
     if "biases" in params:
         y = y + params["biases"]
     if relu:
@@ -145,7 +150,7 @@ def fc(
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
         w = w.astype(compute_dtype)
-    y = jnp.dot(x, w, preferred_element_type=jnp.float32) + params["biases"]
+    y = jnp.dot(x, w).astype(jnp.float32) + params["biases"]
     if relu:
         y = jax.nn.relu(y)
     return y

@@ -33,7 +33,6 @@ from posecnn_tpu.models.backbone import init_vgg_trunk, vgg_trunk
 from posecnn_tpu.ops.hard_label import hard_label
 from posecnn_tpu.ops.hough_voting import HoughOutputs, hough_voting
 from posecnn_tpu.ops.gradient_reversal import gradient_reversal
-from posecnn_tpu.ops.roi_pool import roi_pool
 
 
 @dataclass(frozen=True)
@@ -60,6 +59,9 @@ class PoseCNNConfig:
     # use bilinear crop_pool instead of exact roi_pool (faster on TPU)
     use_crop_pool: bool = False
     adapt_lambda: float = 0.01
+    # fc6/fc7 width (4096 in the reference, vgg16_convs.py:180-184);
+    # reducible for tiny-shape dry runs / tests
+    fc_dim: int = 4096
 
 
 def init_posecnn_params(key: jax.Array, cfg: PoseCNNConfig) -> Dict:
@@ -85,9 +87,9 @@ def init_posecnn_params(key: jax.Array, cfg: PoseCNNConfig) -> Dict:
         params["upscore_vertex"] = L.init_deconv(16, 128)
         params["vertex_pred"] = L.init_conv(next(ks), 1, 1, 128, 3 * C)
         if cfg.pose_reg:
-            params["fc6"] = L.init_fc(next(ks), 7 * 7 * 512, 4096)
-            params["fc7"] = L.init_fc(next(ks), 4096, 4096)
-            params["fc8"] = L.init_fc(next(ks), 4096, 4 * C)
+            params["fc6"] = L.init_fc(next(ks), 7 * 7 * 512, cfg.fc_dim)
+            params["fc7"] = L.init_fc(next(ks), cfg.fc_dim, cfg.fc_dim)
+            params["fc8"] = L.init_fc(next(ks), cfg.fc_dim, 4 * C)
             if cfg.adaptation:
                 params["fc9"] = L.init_fc(next(ks), 7 * 7 * 512, 256)
                 params["domain_score"] = L.init_fc(next(ks), 256, 2)
@@ -194,15 +196,23 @@ def posecnn_forward(
         return out
 
     # ---- quaternion regression branch
+    # hough rows have (batch, slot, jitter) layout, so they reshape to a
+    # batch-aligned (B, D, 7) block: each device pools only its own image
+    # under the data-sharded mesh (no cross-device gathers)
+    B = data.shape[0]
+    R = hough.rois.shape[0]
+    rois_b = hough.rois.reshape(B, R // B, 7)
     if cfg.use_crop_pool:
-        from posecnn_tpu.ops.roi_pool import crop_pool
+        from posecnn_tpu.ops.roi_pool import crop_pool_batched
 
-        pool5 = crop_pool(net["conv5_3"], hough.rois, spatial_scale=1.0 / 16.0, pool_size=7)
-        pool4 = crop_pool(net["conv4_3"], hough.rois, spatial_scale=1.0 / 8.0, pool_size=7)
+        pool5 = crop_pool_batched(net["conv5_3"], rois_b, spatial_scale=1.0 / 16.0, pool_size=7)
+        pool4 = crop_pool_batched(net["conv4_3"], rois_b, spatial_scale=1.0 / 8.0, pool_size=7)
     else:
-        pool5 = roi_pool(net["conv5_3"], hough.rois, 7, 7, 1.0 / 16.0)
-        pool4 = roi_pool(net["conv4_3"], hough.rois, 7, 7, 1.0 / 8.0)
-    pool_score = pool5 + pool4
+        from posecnn_tpu.ops.roi_pool import roi_pool_batched
+
+        pool5 = roi_pool_batched(net["conv5_3"], rois_b, 7, 1.0 / 16.0)
+        pool4 = roi_pool_batched(net["conv4_3"], rois_b, 7, 1.0 / 8.0)
+    pool_score = (pool5 + pool4).reshape(R, 7, 7, -1)
     fc6 = L.fc(params["fc6"], pool_score, relu=True, compute_dtype=dt)
     fc6 = L.dropout(r_d6, fc6, keep)
     fc7 = L.fc(params["fc7"], fc6, relu=True, compute_dtype=dt)

@@ -71,26 +71,42 @@ def _forward_impl(prediction, target, weight, points, symmetry, margin, nn_chunk
     x2_all = jnp.einsum("nij,npj->npi", R_gt, pts)  # gt-rotated candidates
 
     # ADD-S nearest neighbor: for each p, argmin_i |x1_p - x2_i|^2.
-    # Chunk rows to cap the (chunk, P, P) distance tensor.
-    def nn_rows(args):
-        a, b = args  # a: (chunk,P,3) x1, b: (chunk,P,3) x2 candidates
-        d2 = (
-            jnp.sum(a * a, axis=-1)[:, :, None]
-            + jnp.sum(b * b, axis=-1)[:, None, :]
-            - 2.0 * jnp.einsum("npi,nqi->npq", a, b)
-        )
-        return jnp.argmin(d2, axis=-1)  # (chunk, P)
+    # Streamed over candidate blocks: the (N,P,block) distance tile is a
+    # rank-3 matmul (MXU) + running (min, argmin) carry. Blocks run over the
+    # replicated point axis, so rows (N) can stay sharded over the data mesh
+    # axis with zero cross-device traffic (row-chunked lax.map would slice
+    # the sharded axis and lower to collective-permutes).
+    block = min(nn_chunk, num_points)
+    n_blocks = -(-num_points // block)
+    pad_q = n_blocks * block - num_points
+    x2pad = jnp.pad(x2_all, ((0, 0), (0, pad_q), (0, 0)))
+    cand_valid = jnp.arange(n_blocks * block) < num_points
+    x1_sq = jnp.sum(x1 * x1, axis=-1)  # (N,P)
 
-    pad = (-n_rows) % nn_chunk
-    x1p = jnp.pad(x1, ((0, pad), (0, 0), (0, 0)))
-    x2p = jnp.pad(x2_all, ((0, pad), (0, 0), (0, 0)))
-    nn_idx = jax.lax.map(
-        nn_rows,
-        (
-            x1p.reshape(-1, nn_chunk, num_points, 3),
-            x2p.reshape(-1, nn_chunk, num_points, 3),
-        ),
-    ).reshape(-1, num_points)[:n_rows]
+    def nn_body(carry, xs):
+        best_d, best_i = carry
+        x2b, validb, base = xs  # (N,block,3), (block,), ()
+        d2 = (
+            x1_sq[:, :, None]
+            + jnp.sum(x2b * x2b, axis=-1)[:, None, :]
+            - 2.0 * jnp.einsum("npi,nqi->npq", x1, x2b)
+        )
+        d2 = jnp.where(validb[None, None, :], d2, jnp.inf)
+        bmin = jnp.min(d2, axis=-1)  # (N,P)
+        barg = jnp.argmin(d2, axis=-1).astype(jnp.int32) + base
+        take = bmin < best_d  # strict: earliest index wins ties, like CUDA
+        return (jnp.where(take, bmin, best_d), jnp.where(take, barg, best_i)), None
+
+    init = (
+        jnp.full((n_rows, num_points), jnp.inf, x1.dtype),
+        jnp.zeros((n_rows, num_points), jnp.int32),
+    )
+    xs = (
+        jnp.moveaxis(x2pad.reshape(n_rows, n_blocks, block, 3), 1, 0),
+        cand_valid.reshape(n_blocks, block),
+        jnp.arange(n_blocks, dtype=jnp.int32) * block,
+    )
+    (_, nn_idx), _ = jax.lax.scan(nn_body, init, xs)
 
     same_idx = jnp.broadcast_to(jnp.arange(num_points)[None, :], nn_idx.shape)
     match_idx = jnp.where(sym[:, None], nn_idx, same_idx)
@@ -121,7 +137,7 @@ def average_distance_loss(
     points: jnp.ndarray,
     symmetry: jnp.ndarray,
     margin: float = 0.01,
-    nn_chunk: int = 8,
+    nn_chunk: int = 256,
 ) -> jnp.ndarray:
     """prediction/target/weight: (N, 4C); points: (C,P,3); symmetry: (C,).
 

@@ -222,7 +222,8 @@ def hough_voting(
     S = class_slots
     P = max_samples
     J = 9 if is_train else 1
-    assert P % sample_chunk == 0
+    sample_chunk = min(sample_chunk, P)
+    assert P % sample_chunk == 0, f"max_samples {P} not divisible by chunk {sample_chunk}"
 
     label_flat = label.reshape(B, H * W)
     vert_flat = vertex_pred.reshape(B, H * W, 3 * C)
@@ -240,6 +241,8 @@ def hough_voting(
         counts = jnp.zeros((C,), jnp.int32).at[lab].add(1)
         active = (counts > label_threshold) & (jnp.arange(C) > 0)
         order = jnp.sort(jnp.where(active, jnp.arange(C), C))
+        if S > C:  # more slots than classes: pad with the invalid marker C
+            order = jnp.pad(order, (0, S - C), constant_values=C)
         slot_cls = order[:S]
         slot_valid = slot_cls < C
         slot_cls_safe = jnp.where(slot_valid, slot_cls, 0)

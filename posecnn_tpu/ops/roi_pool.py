@@ -99,6 +99,28 @@ def roi_pool(
     return out
 
 
+def roi_pool_batched(
+    feat: jnp.ndarray,
+    rois: jnp.ndarray,
+    pooled: int = 7,
+    spatial_scale: float = 1.0 / 16.0,
+) -> jnp.ndarray:
+    """Batch-aligned RoI pooling: feat (B,H,W,C), rois (B,D,7) where row
+    (b, d) pools image b (its own batch column is ignored).
+
+    This is the SPMD-friendly path used inside the model: with the batch
+    axis sharded over the data mesh axis, every device pools only its own
+    image — no cross-device slicing (the generic `roi_pool` gathers across
+    the batch dim, which lowers to collective-permutes when sharded).
+    """
+
+    def one(feat_b, rois_b):
+        out, empty = _pool_one_image(feat_b, rois_b, pooled, spatial_scale)
+        return jnp.where(empty[..., None], 0.0, out)
+
+    return jax.vmap(one)(feat, rois)
+
+
 def crop_pool(
     feat: jnp.ndarray,
     rois: jnp.ndarray,
@@ -154,3 +176,54 @@ def crop_pool(
         padding="VALID",
     )
     return pooled
+
+
+def crop_pool_batched(
+    feat: jnp.ndarray,
+    rois: jnp.ndarray,
+    spatial_scale: float = 1.0 / 16.0,
+    pool_size: int = 7,
+) -> jnp.ndarray:
+    """Batch-aligned crop_pool: feat (B,H,W,C), rois (B,D,7) -> (B,D,p,p,C).
+
+    Like `roi_pool_batched`, row (b,d) crops image b only — SPMD-friendly
+    under a batch-sharded mesh (no cross-batch gathers).
+    """
+    B, H, W, C = feat.shape
+
+    def one(feat_b, rois_b):
+        n = 2 * pool_size
+        x1 = rois_b[:, 2] * spatial_scale
+        y1 = rois_b[:, 3] * spatial_scale
+        x2 = rois_b[:, 4] * spatial_scale
+        y2 = rois_b[:, 5] * spatial_scale
+        t = (jnp.arange(n, dtype=feat.dtype) + 0.5) / n
+        sx = x1[:, None] + t[None, :] * (x2 - x1)[:, None]
+        sy = y1[:, None] + t[None, :] * (y2 - y1)[:, None]
+        x0 = jnp.clip(jnp.floor(sx).astype(jnp.int32), 0, W - 1)
+        x1i = jnp.clip(x0 + 1, 0, W - 1)
+        y0 = jnp.clip(jnp.floor(sy).astype(jnp.int32), 0, H - 1)
+        y1i = jnp.clip(y0 + 1, 0, H - 1)
+        ax = jnp.clip(sx - x0, 0.0, 1.0)
+        ay = jnp.clip(sy - y0, 0.0, 1.0)
+
+        def crop_one(yy0, yy1, xx0, xx1, wy, wx):
+            rows0 = jnp.take(feat_b, yy0, axis=0)
+            rows1 = jnp.take(feat_b, yy1, axis=0)
+            f00 = jnp.take(rows0, xx0, axis=1)
+            f01 = jnp.take(rows0, xx1, axis=1)
+            f10 = jnp.take(rows1, xx0, axis=1)
+            f11 = jnp.take(rows1, xx1, axis=1)
+            top = f00 * (1 - wx)[None, :, None] + f01 * wx[None, :, None]
+            bot = f10 * (1 - wx)[None, :, None] + f11 * wx[None, :, None]
+            return top * (1 - wy)[:, None, None] + bot * wy[:, None, None]
+
+        crops = jax.vmap(crop_one)(y0, y1i, x0, x1i, ay, ax)
+        return jax.lax.reduce_window(
+            crops, -jnp.inf, jax.lax.max,
+            window_dimensions=(1, 2, 2, 1),
+            window_strides=(1, 2, 2, 1),
+            padding="VALID",
+        )
+
+    return jax.vmap(one)(feat, rois)

@@ -3,15 +3,20 @@
 All tests run on CPU with `xla_force_host_platform_device_count=8` so
 multi-device sharding (pjit/shard_map over a Mesh) is exercised without TPU
 hardware, per the framework's CI strategy (SURVEY.md §4).
+
+NOTE: in some environments (TPU plugin platforms) the JAX_PLATFORMS env var
+is ignored; `jax.config.update('jax_platforms', ...)` is authoritative, so
+both are set here before any backend initialization.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)

@@ -1,0 +1,92 @@
+"""End-to-end training tests on the 8-device CPU mesh: full train step
+(forward + hough + ADD loss + backward + momentum update), loss decrease,
+snapshot/restore, and batched-vs-generic RoI pooling agreement."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from posecnn_tpu.engine.train import TrainHParams, create_train_state, make_train_step
+from posecnn_tpu.models.posecnn import PoseCNNConfig, init_posecnn_params
+from posecnn_tpu.parallel.mesh import MeshSpec, make_mesh
+
+C = 4
+H = W = 32
+B = 8
+
+
+def _cfg():
+    return PoseCNNConfig(
+        num_classes=C, num_units=8, vertex_reg=True, pose_reg=True, is_train=True,
+        keep_prob=1.0, compute_dtype=jnp.float32, hough_class_slots=2,
+        hough_max_samples=32, hough_center_stride=4, hough_refine_window=8,
+        label_threshold=5, fc_dim=64,
+    )
+
+
+def _batch(rng):
+    meta = np.zeros((B, 48), np.float32)
+    meta[:, 0] = meta[:, 4] = 60.0
+    meta[:, 2], meta[:, 5] = W / 2.0, H / 2.0
+    return {
+        "data": jnp.asarray(rng.randn(B, H, W, 3).astype(np.float32)),
+        "gt_label_2d": jnp.asarray(rng.randint(0, C, size=(B, H, W)).astype(np.int32)),
+        "vertex_targets": jnp.asarray(rng.randn(B, H, W, 3 * C).astype(np.float32) * 0.1),
+        "vertex_weights": jnp.asarray((rng.rand(B, H, W, 3 * C) > 0.7).astype(np.float32)),
+        "meta_data": jnp.asarray(meta),
+        "poses": jnp.zeros((8, 13), jnp.float32),
+    }
+
+
+def test_train_step_runs_and_loss_decreases():
+    rng = np.random.RandomState(0)
+    cfg = _cfg()
+    hp = TrainHParams(stepsize=1000, learning_rate=0.01, vertex_w=1.0)
+    mesh = make_mesh(MeshSpec(data=8, model=1))
+    points = jnp.asarray(rng.randn(C, 32, 3).astype(np.float32) * 0.05)
+    symmetry = jnp.zeros(C)
+    extents = jnp.asarray(0.1 + 0.1 * rng.rand(C, 3).astype(np.float32))
+
+    state = create_train_state(cfg, hp, jax.random.PRNGKey(0))
+    step = make_train_step(cfg, hp, mesh, points, symmetry, extents, donate=False)
+    batch = _batch(rng)
+
+    losses = []
+    for i in range(4):
+        state, metrics = step(state, batch, jax.random.PRNGKey(i))
+        losses.append(float(metrics["loss"]))
+        assert np.isfinite(losses[-1])
+    # same batch repeated: total loss must go down
+    assert losses[-1] < losses[0]
+    assert int(state[2]) == 4
+
+
+def test_roi_pool_batched_matches_generic():
+    from posecnn_tpu.ops.roi_pool import roi_pool, roi_pool_batched
+
+    rng = np.random.RandomState(1)
+    feat = rng.randn(2, 8, 10, 6).astype(np.float32)
+    D = 3
+    rois = np.zeros((2, D, 7), np.float32)
+    for b in range(2):
+        for d in range(D):
+            x1, y1 = rng.randint(0, 50), rng.randint(0, 30)
+            rois[b, d] = [b, rng.randint(0, 6), x1, y1, x1 + rng.randint(8, 40), y1 + rng.randint(8, 40), 1.0]
+    batched = np.asarray(roi_pool_batched(jnp.asarray(feat), jnp.asarray(rois), 4, 1.0 / 8.0))
+    generic = np.asarray(roi_pool(jnp.asarray(feat), jnp.asarray(rois.reshape(-1, 7)), 4, 4, 1.0 / 8.0))
+    np.testing.assert_allclose(batched.reshape(-1, 4, 4, 6), generic, atol=1e-6)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from posecnn_tpu.core.checkpoint import restore_checkpoint, save_checkpoint
+
+    cfg = _cfg()
+    hp = TrainHParams()
+    state = create_train_state(cfg, hp, jax.random.PRNGKey(0))
+    path = save_checkpoint(str(tmp_path), state, step=7, prefix="t")
+    state2 = create_train_state(cfg, hp, jax.random.PRNGKey(1))
+    restored = restore_checkpoint(path, state2)
+    leaves1 = jax.tree_util.tree_leaves(state[0])
+    leaves2 = jax.tree_util.tree_leaves(restored[0])
+    for a, b in zip(leaves1, leaves2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -1,0 +1,105 @@
+#!/usr/bin/env python
+"""Run PoseCNN on the 5 demo RGB-D frames (mirrors reference tools/demo.py).
+
+The demo camera intrinsics are hard-coded like the reference
+(tools/demo.py:101-103).
+"""
+
+from __future__ import annotations
+
+import _init_paths  # noqa: F401  (repo-root import bootstrap)
+
+import argparse
+import glob
+import json
+import os
+
+import numpy as np
+
+
+def parse_args():
+    parser = argparse.ArgumentParser(description="posecnn_tpu demo")
+    parser.add_argument("--model", default=None, help="checkpoint / vgg16.npy to load")
+    parser.add_argument("--cfg", dest="cfg_file", default=None)
+    parser.add_argument(
+        "--images", default=os.environ.get("POSECNN_DEMO_IMAGES", "data/demo_images"),
+        help="directory with NNNNNN-color.png frames",
+    )
+    parser.add_argument("--output", default="output/demo")
+    parser.add_argument("--visualize", action="store_true")
+    return parser.parse_args()
+
+
+DEMO_K = np.array(
+    [[1066.778, 0, 312.9869], [0, 1067.487, 241.3109], [0, 0, 1]], dtype=np.float64
+)
+
+
+def main():
+    args = parse_args()
+    import cv2
+    import jax
+    import jax.numpy as jnp
+
+    from posecnn_tpu.core.config import cfg, cfg_from_file
+    from posecnn_tpu.data.lov import YCB_CLASSES, YCB_CLASS_COLORS
+    from posecnn_tpu.data.minibatch import build_meta_data
+    from posecnn_tpu.engine.test import make_inference_fn, postprocess_detections
+    from posecnn_tpu.models.posecnn import PoseCNNConfig, init_posecnn_params
+
+    if args.cfg_file:
+        cfg_from_file(args.cfg_file)
+
+    model_cfg = PoseCNNConfig(
+        num_classes=22, num_units=64, vertex_reg=True, pose_reg=True, is_train=False,
+        hough_class_slots=cfg.TPU.HOUGH_CLASS_SLOTS,
+        hough_max_samples=cfg.TPU.HOUGH_MAX_SAMPLES,
+        hough_center_stride=cfg.TPU.HOUGH_CENTER_STRIDE,
+    )
+    params = init_posecnn_params(jax.random.PRNGKey(cfg.RNG_SEED), model_cfg)
+    if args.model:
+        if args.model.endswith(".npy"):
+            from posecnn_tpu.core.checkpoint import load_vgg16_npy
+
+            params = load_vgg16_npy(args.model, params, log=print)
+        else:
+            from posecnn_tpu.core.checkpoint import load_tf1_checkpoint
+
+            params = load_tf1_checkpoint(args.model, params, log=print)
+
+    infer = make_inference_fn(model_cfg, cfg.pixel_means())
+    extents = jnp.ones((22, 3), jnp.float32) * 0.1
+    meta = jnp.asarray(build_meta_data(DEMO_K)[None])
+
+    os.makedirs(args.output, exist_ok=True)
+    frames = sorted(glob.glob(os.path.join(args.images, "*-color.png")))
+    print(f"{len(frames)} demo frames")
+    for path in frames:
+        im = cv2.imread(path, cv2.IMREAD_COLOR)
+        out = jax.device_get(infer(params, jnp.asarray(im[None]), meta, extents))
+        rois, poses = postprocess_detections(out)
+        name = os.path.basename(path).replace("-color.png", "")
+        label = out["label_2d"][0]
+        # colorized label map artifact
+        vis = np.zeros(label.shape + (3,), dtype=np.uint8)
+        for c, col in enumerate(YCB_CLASS_COLORS):
+            vis[label == c] = col[::-1]
+        cv2.imwrite(os.path.join(args.output, f"{name}-label.png"), vis)
+        dets = [
+            {
+                "class": YCB_CLASSES[int(r[1])],
+                "box": [float(v) for v in r[2:6]],
+                "score": float(r[6]),
+                "pose_quat_wxyz": [float(v) for v in p[:4]],
+                "pose_t": [float(v) for v in p[4:7]],
+            }
+            for r, p in zip(rois, poses)
+        ]
+        with open(os.path.join(args.output, f"{name}-dets.json"), "w") as f:
+            json.dump(dets, f, indent=2)
+        print(name, f"{len(dets)} detections")
+    print("demo artifacts in", args.output)
+
+
+if __name__ == "__main__":
+    main()

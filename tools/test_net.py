@@ -1,0 +1,89 @@
+#!/usr/bin/env python
+"""Evaluate a PoseCNN network on a dataset (mirrors reference tools/test_net.py)."""
+
+from __future__ import annotations
+
+import _init_paths  # noqa: F401  (repo-root import bootstrap)
+
+import argparse
+import pprint
+
+import numpy as np
+
+
+def parse_args():
+    parser = argparse.ArgumentParser(description="Test a posecnn_tpu network")
+    parser.add_argument("--device", default="tpu")
+    parser.add_argument("--model", dest="model", default=None, help="checkpoint to load")
+    parser.add_argument("--cfg", dest="cfg_file", default=None)
+    parser.add_argument("--imdb", dest="imdb_name", default="toy_val")
+    parser.add_argument("--network", dest="network_name", default="vgg16_convs")
+    parser.add_argument("--max_frames", type=int, default=None)
+    return parser.parse_args()
+
+
+def main():
+    args = parse_args()
+    import jax
+
+    from posecnn_tpu.core.config import cfg, cfg_from_file, get_output_dir
+    from posecnn_tpu.data.factory import get_imdb
+    from posecnn_tpu.data.imdb import PoseEvaluator
+    from posecnn_tpu.data.lov import YCB_SYMMETRIC_EVAL
+    from posecnn_tpu.engine.test import test_net
+    from posecnn_tpu.models.posecnn import PoseCNNConfig, init_posecnn_params
+
+    if args.cfg_file:
+        cfg_from_file(args.cfg_file)
+    pprint.pprint(cfg)
+
+    imdb = get_imdb(args.imdb_name)
+    model_cfg = PoseCNNConfig(
+        num_classes=imdb.num_classes,
+        num_units=cfg.TRAIN.NUM_UNITS,
+        vertex_reg=cfg.TEST.VERTEX_REG_2D or cfg.TEST.VERTEX_REG_3D,
+        pose_reg=cfg.TEST.POSE_REG,
+        is_train=False,
+        vote_threshold=cfg.TEST.VOTING_THRESHOLD,
+        hough_class_slots=cfg.TPU.HOUGH_CLASS_SLOTS,
+        hough_max_samples=cfg.TPU.HOUGH_MAX_SAMPLES,
+        hough_center_stride=cfg.TPU.HOUGH_CENTER_STRIDE,
+    )
+    params = init_posecnn_params(jax.random.PRNGKey(cfg.RNG_SEED), model_cfg)
+    if args.model:
+        if args.model.endswith(".npy"):
+            from posecnn_tpu.core.checkpoint import load_vgg16_npy
+
+            params = load_vgg16_npy(args.model, params)
+        elif args.model.endswith(".ckpt") or ".ckpt" in args.model:
+            from posecnn_tpu.core.checkpoint import load_tf1_checkpoint
+
+            params = load_tf1_checkpoint(args.model, params)
+        else:
+            from posecnn_tpu.core.checkpoint import restore_checkpoint
+            from posecnn_tpu.engine.train import TrainHParams, create_train_state
+
+            state = create_train_state(model_cfg, TrainHParams(), jax.random.PRNGKey(0))
+            params = restore_checkpoint(args.model, state)[0]
+
+    sym = [c for c in imdb.classes if c in YCB_SYMMETRIC_EVAL] or [
+        imdb.classes[i] for i in range(imdb.num_classes) if imdb._symmetry[i] > 0
+    ]
+    evaluator = PoseEvaluator(imdb.classes, imdb._extents, imdb._points, sym)
+    test_net(
+        params, model_cfg, imdb, cfg.pixel_means(),
+        evaluator=evaluator, max_frames=args.max_frames,
+    )
+    summary = evaluator.summary()
+    out_dir = get_output_dir(imdb.name, args.network_name)
+    import json
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, "eval_summary.json"), "w") as f:
+        json.dump(summary, f, indent=2)
+    print(json.dumps(summary, indent=2))
+
+
+if __name__ == "__main__":
+    main()

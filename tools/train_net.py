@@ -1,0 +1,124 @@
+#!/usr/bin/env python
+"""Train a PoseCNN network (mirrors reference tools/train_net.py flags)."""
+
+from __future__ import annotations
+
+import _init_paths  # noqa: F401  (repo-root import bootstrap)
+
+import argparse
+import pprint
+import sys
+
+import numpy as np
+
+
+def parse_args():
+    parser = argparse.ArgumentParser(description="Train a posecnn_tpu network")
+    parser.add_argument("--device", default="tpu", help="device to use (tpu/cpu)")
+    parser.add_argument("--device_id", type=int, default=0)
+    parser.add_argument("--iters", dest="max_iters", type=int, default=40000)
+    parser.add_argument("--weights", dest="pretrained_model", default=None, help="vgg16.npy init weights")
+    parser.add_argument("--ckpt", dest="pretrained_ckpt", default=None, help="TF1/orbax checkpoint")
+    parser.add_argument("--cfg", dest="cfg_file", default=None)
+    parser.add_argument("--imdb", dest="imdb_name", default="toy_train")
+    parser.add_argument("--network", dest="network_name", default="vgg16_convs")
+    parser.add_argument("--rand", action="store_true", help="randomize (do not fix seed)")
+    parser.add_argument("--output", default=None, help="output dir override")
+    return parser.parse_args()
+
+
+def main():
+    args = parse_args()
+    import jax
+
+    from posecnn_tpu.core.config import cfg, cfg_from_file, get_output_dir
+    from posecnn_tpu.data.factory import get_imdb
+    from posecnn_tpu.data.layer import GtSynthesizeLayer, prefetch
+    from posecnn_tpu.data.minibatch import MinibatchConfig
+    from posecnn_tpu.engine.train import Solver, TrainHParams, create_train_state
+    from posecnn_tpu.models.posecnn import PoseCNNConfig
+
+    if args.cfg_file:
+        cfg_from_file(args.cfg_file)
+    if not args.rand:
+        np.random.seed(cfg.RNG_SEED)
+    print("Using config:")
+    pprint.pprint(cfg)
+
+    imdb = get_imdb(args.imdb_name)
+    print(f"Loaded dataset `{imdb.name}`: {imdb.num_images} images")
+
+    model_cfg = PoseCNNConfig(
+        num_classes=imdb.num_classes,
+        num_units=cfg.TRAIN.NUM_UNITS,
+        input_format=cfg.INPUT if cfg.INPUT != "COLOR" else "COLOR",
+        vertex_reg=cfg.TRAIN.VERTEX_REG_2D or cfg.TRAIN.VERTEX_REG_3D,
+        pose_reg=cfg.TRAIN.POSE_REG,
+        adaptation=cfg.TRAIN.ADAPT,
+        threshold_label=cfg.TRAIN.THRESHOLD_LABEL,
+        vote_threshold=cfg.TRAIN.VOTING_THRESHOLD,
+        is_train=True,
+        keep_prob=0.5,
+        hough_class_slots=cfg.TPU.HOUGH_CLASS_SLOTS,
+        hough_max_samples=cfg.TPU.HOUGH_MAX_SAMPLES,
+        hough_center_stride=cfg.TPU.HOUGH_CENTER_STRIDE,
+    )
+    hp = TrainHParams(
+        learning_rate=cfg.TRAIN.LEARNING_RATE,
+        momentum=cfg.TRAIN.MOMENTUM,
+        gamma=cfg.TRAIN.GAMMA,
+        stepsize=cfg.TRAIN.STEPSIZE,
+        weight_reg=cfg.TRAIN.WEIGHT_REG,
+        vertex_w=cfg.TRAIN.VERTEX_W,
+        pose_w=cfg.TRAIN.POSE_W,
+        adapt_weight=cfg.TRAIN.ADAPT_WEIGHT,
+    )
+    mcfg = MinibatchConfig(
+        num_classes=imdb.num_classes,
+        pixel_means=cfg.pixel_means(),
+        chromatic=cfg.TRAIN.CHROMATIC,
+        add_noise=cfg.TRAIN.ADD_NOISE,
+        vertex_reg=model_cfg.vertex_reg,
+        vertex_w_inside=cfg.TRAIN.VERTEX_W_INSIDE,
+        max_gt=cfg.TPU.MAX_GT,
+    )
+    output_dir = args.output or get_output_dir(imdb.name, args.network_name)
+    print("Output will be saved to", output_dir)
+
+    layer = GtSynthesizeLayer(
+        imdb, mcfg,
+        ims_per_batch=cfg.TRAIN.IMS_PER_BATCH,
+        synthesize=cfg.TRAIN.SYNTHESIZE,
+        syn_ratio=cfg.TRAIN.SYN_RATIO,
+        seed=cfg.RNG_SEED,
+    )
+    solver = Solver(
+        model_cfg, hp,
+        points=layer.dataset._points_all,
+        symmetry=layer.dataset._symmetry,
+        extents=layer.dataset._extents,
+        output_dir=output_dir,
+        snapshot_iters=cfg.TRAIN.SNAPSHOT_ITERS,
+        snapshot_prefix=cfg.TRAIN.SNAPSHOT_PREFIX,
+        display=cfg.TRAIN.DISPLAY,
+        seed=cfg.RNG_SEED,
+    )
+    state = create_train_state(model_cfg, hp, jax.random.PRNGKey(cfg.RNG_SEED))
+    if args.pretrained_model:
+        from posecnn_tpu.core.checkpoint import load_vgg16_npy
+
+        params, opt_state, step = state
+        state = (load_vgg16_npy(args.pretrained_model, params, log=print), opt_state, step)
+    if args.pretrained_ckpt:
+        from posecnn_tpu.core.checkpoint import load_tf1_checkpoint
+
+        params, opt_state, step = state
+        state = (load_tf1_checkpoint(args.pretrained_ckpt, params, log=print), opt_state, step)
+
+    data_iter = prefetch(iter(layer), depth=cfg.TPU.PREFETCH)
+    solver.train(data_iter, state, args.max_iters)
+    print("done solving")
+
+
+if __name__ == "__main__":
+    main()
