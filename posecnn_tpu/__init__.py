@@ -18,3 +18,11 @@ TPU hardware:
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+# persistent XLA compilation cache: full-model TPU compiles take minutes in
+# this environment; caching makes every process after the first start fast.
+# Must be set before the first backend use (import order suffices).
+_os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_compilation_cache")
+_os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")

@@ -1,0 +1,195 @@
+"""Online synthetic training-data generation.
+
+Replaces the reference's OpenGL/Pangolin `Synthesizer::render_python` thread
+(lib/synthesize/synthesize.cpp:345-470, consumed by tools/train_net.py:155-258):
+  * samples 5-8 distinct objects (SYN_SAMPLE_OBJECT) with random poses —
+    translation z in [SYN_TNEAR, SYN_TFAR], center inside the image,
+    rotation uniform over SO(3) (or banked poses +/- noise when a pose
+    bank is supplied, SYN_SAMPLE_POSE);
+  * renders color/depth/label/vertmap with the native C++ rasterizer
+    (posecnn_tpu/native) — CPU, no GL context needed on TPU hosts;
+  * rejects frames where any object has fewer than `min_visible` visible
+    pixels (synthesize.cpp:448-452 uses 800);
+  * meshes: .ply/.obj models when present, else convex hulls of the
+    points.xyz clouds (scipy) as proxy geometry.
+
+Also provides the offline `data_syn` reader (SYN_ONLINE=False path,
+minibatch.py:121-154).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from posecnn_tpu.data.minibatch import Frame
+from posecnn_tpu.native import SceneBuffers, rasterize_mesh
+from posecnn_tpu.utils.quaternion_np import quat2mat
+
+
+def _random_rotation(rng: np.random.RandomState) -> np.ndarray:
+    q = rng.randn(4)
+    return quat2mat(q / np.linalg.norm(q))
+
+
+class Mesh:
+    def __init__(self, vertices: np.ndarray, faces: np.ndarray, colors: Optional[np.ndarray] = None):
+        self.vertices = vertices.astype(np.float32)
+        self.faces = faces.astype(np.int32)
+        self.colors = colors
+
+    @classmethod
+    def from_points(cls, points: np.ndarray) -> "Mesh":
+        """Convex-hull proxy mesh from a point cloud."""
+        from scipy.spatial import ConvexHull
+
+        hull = ConvexHull(points)
+        return cls(points.astype(np.float32), hull.simplices.astype(np.int32))
+
+
+class Synthesizer:
+    """Scene sampler + renderer. API shape mirrors libsynthesizer.Synthesizer
+    (lib/synthesize/synthesizer.pyx:14-95) minus the GL context."""
+
+    def __init__(
+        self,
+        meshes: Sequence[Optional[Mesh]],   # index = class id; None for background
+        extents: np.ndarray,
+        intrinsic_matrix: np.ndarray,
+        width: int = 640,
+        height: int = 480,
+        class_colors: Optional[Sequence[Tuple[int, int, int]]] = None,
+        t_near: float = 0.5,
+        t_far: float = 2.0,
+        min_objects: int = 5,
+        max_objects: int = 8,
+        min_visible: int = 800,
+        pose_bank: Optional[np.ndarray] = None,  # (N,4) quaternion bank
+        pose_noise_deg: float = 15.0,
+    ):
+        self.meshes = list(meshes)
+        self.extents = extents
+        self.K = np.asarray(intrinsic_matrix, np.float64)
+        self.width, self.height = width, height
+        self.class_colors = class_colors
+        self.t_near, self.t_far = t_near, t_far
+        self.min_objects, self.max_objects = min_objects, max_objects
+        self.min_visible = min_visible
+        self.pose_bank = pose_bank
+        self.pose_noise_deg = pose_noise_deg
+        self.num_classes = len(self.meshes)
+
+    def _sample_pose(self, rng) -> Tuple[np.ndarray, np.ndarray]:
+        if self.pose_bank is not None and len(self.pose_bank):
+            q = self.pose_bank[rng.randint(len(self.pose_bank))]
+            R = quat2mat(q / np.linalg.norm(q))
+            # perturb around the banked pose
+            ang = np.deg2rad(self.pose_noise_deg) * rng.randn(3)
+            Rn, _ = np.linalg.qr(np.eye(3) + np.cross(np.eye(3), ang))
+            R = Rn @ R
+        else:
+            R = _random_rotation(rng)
+        z = self.t_near + (self.t_far - self.t_near) * rng.rand()
+        cx = self.width * (0.25 + 0.5 * rng.rand())
+        cy = self.height * (0.25 + 0.5 * rng.rand())
+        t = np.array(
+            [
+                (cx - self.K[0, 2]) / self.K[0, 0] * z,
+                (cy - self.K[1, 2]) / self.K[1, 1] * z,
+                z,
+            ]
+        )
+        return R, t
+
+    def render_scene(self, rng: np.random.RandomState, max_tries: int = 5) -> Frame:
+        classes_avail = [c for c in range(1, self.num_classes) if self.meshes[c] is not None]
+        for _ in range(max_tries):
+            n = rng.randint(self.min_objects, self.max_objects + 1)
+            n = min(n, len(classes_avail))
+            classes = rng.choice(classes_avail, size=n, replace=False)
+            buf = SceneBuffers(self.height, self.width)
+            poses = np.zeros((3, 4, n), np.float32)
+            centers = np.zeros((n, 2), np.float32)
+            for j, cls in enumerate(classes):
+                R, t = self._sample_pose(rng)
+                poses[:, :3, j] = R
+                poses[:, 3, j] = t
+                centers[j] = [
+                    self.K[0, 0] * t[0] / t[2] + self.K[0, 2],
+                    self.K[1, 1] * t[1] / t[2] + self.K[1, 2],
+                ]
+                mesh = self.meshes[cls]
+                base = (
+                    np.asarray(self.class_colors[cls], np.float32) / 255.0
+                    if self.class_colors
+                    else np.array([0.3 + 0.7 * rng.rand() for _ in range(3)], np.float32)
+                )
+                rasterize_mesh(
+                    buf, mesh.vertices, mesh.faces,
+                    np.hstack([R, t[:, None]]), self.K, int(cls),
+                    vertex_colors=mesh.colors, base_color=tuple(base),
+                )
+            visible = np.array([(buf.label == c).sum() for c in classes])
+            if (visible >= self.min_visible).all():
+                depth_raw = (buf.depth * 1000.0).astype(np.uint16)
+                return Frame(
+                    color=buf.color[:, :, ::-1].copy(),  # RGB->BGR
+                    label=buf.label.copy(),
+                    depth=depth_raw,
+                    cls_indexes=classes.astype(np.float32),
+                    poses=poses,
+                    center=centers,
+                    intrinsic_matrix=self.K,
+                    factor_depth=1000.0,
+                    is_synthetic=True,
+                )
+        # fall through: return the last attempt regardless
+        return Frame(
+            color=buf.color[:, :, ::-1].copy(), label=buf.label.copy(), depth=depth_raw
+            if "depth_raw" in dir() else (buf.depth * 1000).astype(np.uint16),
+            cls_indexes=classes.astype(np.float32), poses=poses, center=centers,
+            intrinsic_matrix=self.K, factor_depth=1000.0, is_synthetic=True,
+        )
+
+
+def build_ycb_synthesizer(dataset, width=640, height=480, **kwargs) -> Synthesizer:
+    """Synthesizer over a YCB-style dataset (uses its points_all clouds)."""
+    meshes: List[Optional[Mesh]] = [None]
+    for c in range(1, dataset.num_classes):
+        pts = dataset._points_all[c]
+        meshes.append(Mesh.from_points(pts) if pts.shape[0] >= 4 else None)
+    K = getattr(dataset, "K", np.array([[1066.778, 0, 312.9869], [0, 1067.487, 241.3109], [0, 0, 1]]))
+    colors = getattr(dataset, "_class_colors", None)
+    return Synthesizer(meshes, dataset._extents, K, width, height, class_colors=colors, **kwargs)
+
+
+class OfflineSynReader:
+    """data_syn reader: {root}/NNNNNN-{color,depth,label}.png + -meta.mat
+    (SYN_ONLINE=False path, minibatch.py:121-154)."""
+
+    def __init__(self, root: str, num: int = 80000):
+        self.root = root
+        self.num = num
+
+    def load_frame(self, index: int) -> Frame:
+        import cv2
+        import scipy.io
+
+        base = os.path.join(self.root, f"{index:06d}")
+        meta = scipy.io.loadmat(base + "-meta.mat")
+        poses = meta["poses"]
+        if poses.ndim == 2:
+            poses = poses.reshape(3, 4, 1)
+        return Frame(
+            color=cv2.imread(base + "-color.png", cv2.IMREAD_COLOR),
+            label=cv2.imread(base + "-label.png", cv2.IMREAD_UNCHANGED),
+            depth=cv2.imread(base + "-depth.png", cv2.IMREAD_UNCHANGED),
+            cls_indexes=meta["cls_indexes"].flatten(),
+            poses=poses,
+            center=meta["center"],
+            intrinsic_matrix=meta["intrinsic_matrix"],
+            factor_depth=float(np.asarray(meta["factor_depth"]).flatten()[0]),
+            is_synthetic=True,
+        )

@@ -94,14 +94,74 @@ def conv2d(
     return y
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=64)
+def _bilinear_1d_map(n_in: int, k: int, stride: int):
+    """Per-output (2-tap index, weight) arrays for a 1-D bilinear transposed
+    conv with TF SAME semantics: out[o] = sum_j x[j] * k1[o - j*s + lo].
+
+    The 2-D bilinear kernel from make_deconv_filter is the outer product of
+    this 1-D kernel, so applying the map along H then W reproduces the dense
+    conv2d_transpose exactly (covered by test_models.py parity tests).
+    """
+    f = math.ceil(k / 2.0)
+    c = (2 * f - 1 - f % 2) / (2.0 * f)
+    k1 = np.array([1 - abs(t / f - c) for t in range(k)])
+    lo = max(k - stride, 0) // 2
+    n_out = n_in * stride
+    idx = np.zeros((n_out, 2), np.int32)
+    wgt = np.zeros((n_out, 2), np.float32)
+    counts = np.zeros(n_out, np.int32)
+    for j in range(n_in):
+        for t in range(k):
+            o = j * stride - lo + t
+            if 0 <= o < n_out and k1[t] != 0.0:
+                slot = counts[o]
+                assert slot < 2, "kernel wider than 2 taps per output"
+                idx[o, slot] = j
+                wgt[o, slot] = k1[t]
+                counts[o] += 1
+    # rows with one tap: duplicate index with zero weight
+    single = counts == 1
+    idx[single, 1] = idx[single, 0]
+    # return host numpy (NOT jnp): the result is lru-cached and jnp constants
+    # created inside one jit trace must not leak into another
+    return idx, wgt
+
+
 def deconv(params, x: jnp.ndarray, stride: int, padding: str = "SAME") -> jnp.ndarray:
     """tf.nn.conv2d_transpose equivalent; kernel layout (k,k,c_o,c_i).
 
     PoseCNN's deconvs are fixed bilinear filters with c_i == c_o and
-    channel-diagonal symmetric kernels, for which the transposed and direct
-    kernel layouts coincide.
+    channel-diagonal symmetric kernels (make_deconv_filter). A dense
+    transpose conv would cost k^2*C^2 MACs/pixel (the 16x16/s8 upscore over
+    64-128 channels is ~0.6-2.6 TFLOP/frame at 640x480 — more than the whole
+    VGG trunk); the diagonal structure lowers it to a depthwise
+    fractionally-strided conv at k^2*C MACs/pixel, a C-fold saving.
+    Numerical parity with tf.nn.conv2d_transpose(SAME) is covered by
+    tests/test_models.py.
     """
-    w = params["weights"]
+    w = params["weights"]  # (k, k, c_o, c_i)
+    k = int(w.shape[0])
+    if w.shape[2] == w.shape[3] and k <= 2 * stride:
+        # gather-lerp path: a channel-diagonal bilinear kernel of width
+        # k <= 2s contributes at most 2 input taps per output position per
+        # axis, so the transposed conv is exactly two 1-D lerps — ~4 reads +
+        # 4 MACs per output element, bandwidth-bound, instead of a k^2 C^2
+        # dense conv (XLA TPU also compiles dilated depthwise convs
+        # pathologically slowly: 300+s for the 16x16/s8 case)
+        h_in, w_in = x.shape[1], x.shape[2]
+        iy, wy = _bilinear_1d_map(h_in, k, stride)
+        ix, wx = _bilinear_1d_map(w_in, k, stride)
+        y = x[:, iy[:, 0], :, :] * wy[:, 0][None, :, None, None] + (
+            x[:, iy[:, 1], :, :] * wy[:, 1][None, :, None, None]
+        )
+        y = y[:, :, ix[:, 0], :] * wx[:, 0][None, None, :, None] + (
+            y[:, :, ix[:, 1], :] * wx[:, 1][None, None, :, None]
+        )
+        return y
     return jax.lax.conv_transpose(
         x, w,
         strides=(stride, stride),

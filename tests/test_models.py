@@ -1,0 +1,123 @@
+"""Model-level tests: deconv lowering parity, forward shapes of all variants."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from posecnn_tpu.models import layers as L
+
+
+def test_depthwise_deconv_matches_dense_transpose():
+    """The channel-diagonal depthwise lowering must equal the dense
+    tf-style conv2d_transpose for the bilinear kernels."""
+    rng = np.random.RandomState(0)
+    for k, s, c, h, w in ((4, 2, 6, 5, 7), (16, 8, 4, 6, 5), (8, 8, 3, 4, 4)):
+        params = L.init_deconv(k, c)
+        x = jnp.asarray(rng.randn(2, h, w, c).astype(np.float32))
+        fast = L.deconv(params, x, stride=s)
+        dense = jax.lax.conv_transpose(
+            x, params["weights"], strides=(s, s), padding="SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"), transpose_kernel=True,
+        )
+        assert fast.shape == (2, h * s, w * s, c)
+        np.testing.assert_allclose(np.asarray(fast), np.asarray(dense), atol=1e-5)
+
+
+def test_deconv_constant_preserving():
+    """Bilinear upsampling of a constant map stays constant in the interior."""
+    params = L.init_deconv(4, 3)
+    x = jnp.ones((1, 6, 6, 3))
+    y = np.asarray(L.deconv(params, x, stride=2))
+    np.testing.assert_allclose(y[0, 3:-3, 3:-3, :], 1.0, atol=1e-5)
+
+
+def test_posecnn_forward_shapes():
+    from posecnn_tpu.models.posecnn import PoseCNNConfig, init_posecnn_params, posecnn_forward
+
+    C, H, W, B = 4, 32, 32, 2
+    cfg = PoseCNNConfig(
+        num_classes=C, num_units=8, vertex_reg=True, pose_reg=True, is_train=False,
+        compute_dtype=jnp.float32, hough_class_slots=2, hough_max_samples=32,
+        hough_center_stride=4, hough_refine_window=8, label_threshold=5, fc_dim=64,
+    )
+    params = init_posecnn_params(jax.random.PRNGKey(0), cfg)
+    data = jnp.zeros((B, H, W, 3))
+    meta = jnp.zeros((B, 48)).at[:, 0].set(60.0).at[:, 4].set(60.0).at[:, 2].set(16.0).at[:, 5].set(16.0)
+    extents = jnp.ones((C, 3)) * 0.1
+    out = posecnn_forward(params, cfg, data, extents, meta)
+    assert out["prob"].shape == (B, H, W, C)
+    assert out["label_2d"].shape == (B, H, W)
+    assert out["vertex_pred"].shape == (B, H, W, 3 * C)
+    R = B * 2 * 1
+    assert out["rois"].shape == (R, 7)
+    assert out["poses_tanh"].shape == (R, 4 * C)
+
+
+def test_posecnn_full_forward_shapes():
+    from posecnn_tpu.models.posecnn import PoseCNNConfig
+    from posecnn_tpu.models.posecnn_full import init_posecnn_full_params, posecnn_full_forward
+
+    C, H, W, B = 4, 32, 32, 1
+    cfg = PoseCNNConfig(
+        num_classes=C, num_units=8, vertex_reg=True, pose_reg=True, is_train=False,
+        compute_dtype=jnp.float32, hough_class_slots=2, hough_max_samples=32,
+        hough_center_stride=4, hough_refine_window=8, label_threshold=5, fc_dim=64,
+    )
+    params = init_posecnn_full_params(jax.random.PRNGKey(0), cfg)
+    meta = jnp.zeros((B, 48)).at[:, 0].set(60.0).at[:, 4].set(60.0).at[:, 2].set(16.0).at[:, 5].set(16.0)
+    out = posecnn_full_forward(params, cfg, jnp.zeros((B, H, W, 3)), jnp.ones((C, 3)) * 0.1, meta)
+    assert out["prob"].shape == (B, H, W, C)
+    assert out["vertex_pred"].shape == (B, H, W, 3 * C)
+    assert out["poses_pred"].shape == (B * 2, 4 * C)
+
+
+def test_video_forward_shapes():
+    from posecnn_tpu.models.video import VideoConfig, init_video_params, video_forward
+
+    cfg = VideoConfig(num_classes=3, num_units=4, compute_dtype=jnp.float32)
+    params = init_video_params(jax.random.PRNGKey(0), cfg)
+    T, B, H, W = 2, 1, 16, 16
+    meta = np.zeros((T, B, 48), np.float32)
+    K = np.array([[10.0, 0, 8], [0, 10.0, 8], [0, 0, 1]])
+    meta[..., 0:9] = K.flatten()
+    meta[..., 9:18] = np.linalg.inv(K).flatten()
+    meta[..., 18:30] = np.hstack([np.eye(3), np.zeros((3, 1))]).flatten()
+    meta[..., 30:42] = np.hstack([np.eye(3), np.zeros((3, 1))]).flatten()
+    outs, state = video_forward(
+        params, cfg,
+        jnp.zeros((T, B, H, W, 3)),
+        jnp.ones((T, B, H, W)),
+        jnp.asarray(meta),
+    )
+    assert outs["prob"].shape == (T, B, H, W, 3)
+    assert state[0].shape == (B, H, W, 4)
+
+
+def test_resnet50_and_fcn8_shapes():
+    from posecnn_tpu.models.fcn8 import fcn8_forward, init_fcn8_params
+    from posecnn_tpu.models.resnet50 import init_resnet50_params, resnet50_forward
+
+    x = jnp.zeros((1, 32, 32, 3))
+    p = init_resnet50_params(jax.random.PRNGKey(0), 5)
+    out = resnet50_forward(p, x, 5, compute_dtype=jnp.float32)
+    assert out["prob"].shape == (1, 32, 32, 5)
+
+    p8 = init_fcn8_params(jax.random.PRNGKey(1), 5)
+    out8 = fcn8_forward(p8, x, 5, compute_dtype=jnp.float32)
+    assert out8["prob"].shape == (1, 32, 32, 5)
+
+
+def test_gan_shapes():
+    from posecnn_tpu.models.gan import (
+        dcgan_discriminator,
+        dcgan_generator,
+        init_dcgan_params,
+    )
+
+    p = init_dcgan_params(jax.random.PRNGKey(0), size=64)
+    z = jnp.zeros((2, 100))
+    img = jnp.zeros((2, 64, 64, 3))
+    g = dcgan_generator(p, z, img, train=False)
+    assert g.shape == (2, 64, 64, 3)
+    d = dcgan_discriminator(p, jnp.concatenate([img, g], axis=3), train=False)
+    assert d.shape == (2, 1)

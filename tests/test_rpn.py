@@ -1,0 +1,111 @@
+"""Tests for the fixed-shape RPN ops and the detection model."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from posecnn_tpu.ops.rpn import (
+    anchor_target_layer,
+    generate_anchors,
+    proposal_layer,
+    proposal_target_layer,
+    shifted_anchors,
+)
+
+
+def test_generate_anchors_reference_values():
+    """The 9 base anchors for stride 16 (known Faster-RCNN constants)."""
+    a = generate_anchors(16, (0.5, 1, 2), (8, 16, 32))
+    assert a.shape == (9, 4)
+    # the canonical first anchor: [-84 -40 99 55]
+    np.testing.assert_allclose(a[0], [-84, -40, 99, 55])
+    np.testing.assert_allclose(a[3], [-56, -56, 71, 71])  # square, scale 8
+    np.testing.assert_allclose(a[4], [-120, -120, 135, 135])  # square, scale 16
+
+
+def test_shifted_anchors_grid():
+    base = generate_anchors()
+    anchors = shifted_anchors(2, 3, 16, base)
+    assert anchors.shape == (2 * 3 * 9, 4)
+    np.testing.assert_allclose(anchors[9] - anchors[0], [16, 0, 16, 0])
+
+
+def test_anchor_target_layer_basics():
+    # image large enough that some anchors lie fully inside (tiny images have
+    # no inside anchors at these scales, like the reference)
+    base = generate_anchors()
+    anchors = jnp.asarray(shifted_anchors(16, 16, 16, base))
+    gt = jnp.asarray([[60.0, 60.0, 180.0, 180.0, 2.0], [0, 0, 0, 0, 0]])
+    out = anchor_target_layer(jax.random.PRNGKey(0), anchors, gt, (256, 256))
+    labels = np.asarray(out.labels)
+    assert set(np.unique(labels)).issubset({-1, 0, 1})
+    assert (labels == 1).sum() >= 1  # best-anchor-per-gt guarantee
+    fg = labels == 1
+    # fg targets map anchors onto the gt box
+    from posecnn_tpu.ops.bbox import bbox_transform_inv
+
+    dec = np.asarray(bbox_transform_inv(anchors[fg], out.bbox_targets[fg]))
+    # encode uses the +1 box-size convention, decode doesn't (a quirk kept
+    # from the reference bbox_transform_inv) -> up to 1px asymmetry
+    np.testing.assert_allclose(dec, np.tile(gt[0, :4], (fg.sum(), 1)), atol=1.01)
+
+
+def test_proposal_layer_shapes_and_validity():
+    A = 9
+    Hf = Wf = 4
+    base = generate_anchors()
+    anchors = jnp.asarray(shifted_anchors(Hf, Wf, 16, base))
+    rng = np.random.RandomState(0)
+    prob = jax.nn.softmax(jnp.asarray(rng.randn(Hf, Wf, 2 * A).astype(np.float32)), axis=-1)
+    deltas = jnp.asarray(rng.randn(Hf, Wf, 4 * A).astype(np.float32) * 0.1)
+    rois, scores = proposal_layer(prob, deltas, anchors, (64, 64), A, 50, 10, 0.7)
+    assert rois.shape == (10, 5)
+    r = np.asarray(rois)
+    assert (r[:, 1] >= 0).all() and (r[:, 3] <= 63).all()
+    s = np.asarray(scores)
+    assert (np.diff(s[s > 0]) <= 1e-6).all()  # descending
+
+
+def test_proposal_target_layer_sampling():
+    rng = np.random.RandomState(1)
+    R, C = 40, 5
+    gt = jnp.asarray([[10.0, 10, 30, 30, 3], [40, 40, 60, 60, 1]])
+    poses = jnp.zeros((2, 13)).at[:, 6:10].set(jnp.asarray([[1, 0, 0, 0], [0.5, 0.5, 0.5, 0.5]]))
+    boxes = rng.rand(R, 4).astype(np.float32) * 40
+    boxes[:, 2:] += boxes[:, :2] + 5
+    # plant some true positives
+    boxes[0] = [11, 11, 29, 29]
+    boxes[1] = [41, 39, 59, 61]
+    rois = jnp.concatenate([jnp.zeros((R, 1)), jnp.asarray(boxes)], axis=1)
+    out = proposal_target_layer(
+        jax.random.PRNGKey(0), rois, jnp.ones((R,)), gt, poses, C, batch_size=16
+    )
+    labels = np.asarray(out.labels)
+    assert out.rois.shape == (16, 5)
+    assert labels[0] in (1, 3)  # fg rows sorted first
+    for i in range(16):
+        if labels[i] > 0:
+            cls = labels[i]
+            w = np.asarray(out.poses_weight)[i]
+            assert w[4 * cls : 4 * cls + 4].sum() == 4
+            q = np.asarray(out.poses_target)[i, 4 * cls : 4 * cls + 4]
+            assert np.abs(q).sum() > 0
+
+
+def test_detection_forward_shapes():
+    from posecnn_tpu.models.detection import DetConfig, init_vgg16_det_params, vgg16_det_forward
+
+    cfg = DetConfig(
+        num_classes=4, is_train=True, compute_dtype=jnp.float32,
+        rpn_pre_nms_top_n=64, rpn_post_nms_top_n=16, roi_batch_size=8, fc_dim=64,
+    )
+    params = init_vgg16_det_params(jax.random.PRNGKey(0), cfg)
+    data = jnp.zeros((1, 64, 64, 3))
+    gt = jnp.asarray([[8.0, 8, 40, 40, 2]])
+    poses = jnp.zeros((1, 13)).at[0, 6:10].set(jnp.asarray([1.0, 0, 0, 0]))
+    out = vgg16_det_forward(params, cfg, data, gt, poses, rng=jax.random.PRNGKey(1))
+    assert out["rois"].shape == (8, 5)
+    assert out["cls_prob"].shape == (8, 4)
+    assert out["bbox_pred"].shape == (8, 16)
+    assert out["poses_pred"].shape == (8, 16)
+    assert out["rpn_labels"].shape[0] == 4 * 4 * 9
