@@ -29,15 +29,25 @@ def _install_defaults():
         register(f"lov_{split}", lambda s=split: lov(s))
     for split in ("train", "val"):
         register(f"toy_{split}", lambda s=split: toy(s))
-    # linemod / ycb / rgbd_scene etc. register lazily as their modules land
-    try:
-        from posecnn_tpu.data.linemod import linemod
+    from posecnn_tpu.data.linemod import linemod
 
-        for cls in linemod.LINEMOD_CLASSES[1:]:
-            for split in ("train", "test"):
-                register(f"linemod_{cls}_{split}", lambda c=cls, s=split: linemod(c, s))
-    except ImportError:
-        pass
+    for cls in linemod.LINEMOD_CLASSES[1:]:
+        for split in ("train", "test"):
+            register(f"linemod_{cls}_{split}", lambda c=cls, s=split: linemod(c, s))
+
+    from posecnn_tpu.data import variants
+
+    for split in ("train", "val", "trainval", "keyframe"):
+        register(f"ycb_{split}", lambda s=split: variants.ycb(s))
+    for scene in ("rgbd_scene", "shapenet_scene", "shapenet_single", "gmu_scene", "yumi", "sym"):
+        for split in ("train", "val", "trainval"):
+            register(f"{scene}_{split}", lambda sc=scene, s=split: getattr(variants, sc)(s))
+    from posecnn_tpu.data.lov import YCB_CLASSES
+
+    for cls in YCB_CLASSES[1:]:
+        for split in ("train", "val"):
+            register(f"lov_single_{cls}_{split}", lambda c=cls, s=split: variants.lov_single(c, s))
+            register(f"ycb_single_{cls}_{split}", lambda c=cls, s=split: variants.ycb_single(c, s))
 
 
 _install_defaults()

@@ -128,3 +128,56 @@ def test_net(
     if evaluator is not None and log:
         log(str(evaluator.summary()))
     return results
+
+
+def test_net_video(
+    params,
+    video_cfg,
+    dataset,
+    pixel_means,
+    num_steps: int = 5,
+    evaluator=None,
+    max_videos: Optional[int] = None,
+    log=print,
+):
+    """Multi-frame evaluation: per video, reset the GRU state and stream
+    frames through the recurrent graph (lib/fcn/test.py:381-557 without
+    KinectFusion). Evaluates per-frame segmentation."""
+    import numpy as np
+
+    from posecnn_tpu.data.video_layer import group_by_video
+    from posecnn_tpu.models.video import init_video_state, video_step
+
+    means = np.asarray(pixel_means, np.float32).reshape(1, 1, 1, 3)
+
+    @jax.jit
+    def step(params, state, data, depth, meta):
+        return video_step(params, video_cfg, data, depth, meta, state)
+
+    videos = group_by_video(dataset.image_index)
+    names = sorted(videos)
+    if max_videos is not None:
+        names = names[:max_videos]
+    from posecnn_tpu.data.minibatch import build_meta_data
+
+    for vi, name in enumerate(names):
+        state = None
+        for j, idx in enumerate(videos[name]):
+            frame = dataset.load_frame(idx)
+            data = jnp.asarray(frame.color[None].astype(np.float32) - means)
+            if state is None:
+                state = init_video_state(1, data.shape[1], data.shape[2], video_cfg.num_units)
+            depth = jnp.asarray(
+                (frame.depth.astype(np.float32) / frame.factor_depth)[None]
+                if frame.depth is not None
+                else np.zeros(frame.label.shape, np.float32)[None]
+            )
+            meta = jnp.asarray(build_meta_data(frame.intrinsic_matrix)[None])
+            out, state = step(params, state, data, depth, meta)
+            if evaluator is not None:
+                evaluator.add_frame(np.asarray(out["label_2d"])[0], frame.label)
+        if log:
+            log(f"video {vi + 1}/{len(names)} ({name}): {len(videos[name])} frames")
+    if evaluator is not None and log:
+        log(str(evaluator.summary()))
+    return evaluator

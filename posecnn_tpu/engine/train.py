@@ -258,3 +258,53 @@ class Solver:
         from posecnn_tpu.core.checkpoint import save_checkpoint
 
         save_checkpoint(self.output_dir, state, step=it, prefix=self.snapshot_prefix)
+
+
+def make_video_train_step(video_cfg, hp: TrainHParams, mesh: Mesh, donate: bool = False):
+    """Train step for the multi-frame GRU model (lib/fcn/train.py:438-453
+    loss over NUM_STEPS frames; SolverWrapper.train_model path).
+
+    batch: dict with (T,B,...) arrays data / gt_label_2d / depth / meta_data.
+    """
+    from posecnn_tpu.models.video import video_forward
+    from posecnn_tpu.ops.losses import loss_cross_entropy_single_frame
+
+    tx = make_optimizer(hp)
+    sched = lr_schedule(hp)
+
+    def losses_fn(params, batch):
+        outs, _ = video_forward(
+            params, video_cfg, batch["data"], batch["depth"], batch["meta_data"]
+        )
+        T = batch["data"].shape[0]
+        num_classes = outs["prob"].shape[-1]
+        loss = 0.0
+        for t in range(T):
+            labels = jax.nn.one_hot(batch["gt_label_2d"][t], num_classes)
+            loss = loss + loss_cross_entropy_single_frame(outs["prob"][t], labels)
+        loss = loss / T
+        reg = regularization_loss(params, hp.weight_reg)
+        return loss + reg, {"loss": loss + reg, "loss_cls": loss, "loss_regu": reg}
+
+    def step_fn(state, batch):
+        params, opt_state, step = state
+        (loss, metrics), grads = jax.value_and_grad(losses_fn, has_aux=True)(params, batch)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        metrics["lr"] = sched(step)
+        return (params, opt_state, step + 1), metrics
+
+    repl = replicated(mesh)
+    bsh = NamedSharding(mesh, P(None, DATA_AXIS))  # (T, B, ...) shard over B
+
+    def jitted(state, batch):
+        shardings = {k: bsh for k in batch}
+        f = jax.jit(
+            step_fn,
+            in_shardings=((repl, repl, repl), shardings),
+            out_shardings=((repl, repl, repl), repl),
+            donate_argnums=(0,) if donate else (),
+        )
+        return f(state, batch)
+
+    return jitted

@@ -55,6 +55,9 @@ class PoseCNNConfig:
     hough_max_samples: int = 1024
     hough_center_stride: int = 4
     hough_refine_window: int = 16
+    # candidate-pixel grid stride inside hough voting (1 = reference
+    # semantics; >1 = spatially uniform subsampling, use with skip_pixels=1)
+    hough_pixel_stride: int = 1
     label_threshold: int = 500
     # use bilinear crop_pool instead of exact roi_pool (faster on TPU)
     use_crop_pool: bool = False
@@ -166,23 +169,45 @@ def posecnn_forward(
     # ---- hough voting (in-graph; zero gradients)
     if gt_poses is None:
         gt_poses = jnp.zeros((1, 13), jnp.float32)
-    hough: HoughOutputs = hough_voting(
-        label_2d,
-        vertex_pred.astype(jnp.float32),
-        extents,
-        meta_data,
-        gt_poses,
-        num_classes=C,
-        is_train=train,
-        skip_pixels=cfg.skip_pixels,
-        voting_threshold=cfg.vote_threshold,
-        per_threshold=cfg.vote_percentage,
-        label_threshold=cfg.label_threshold,
-        class_slots=cfg.hough_class_slots,
-        max_samples=cfg.hough_max_samples,
-        center_stride=cfg.hough_center_stride,
-        refine_window=cfg.hough_refine_window,
-    )
+    if cfg.vote_threshold > 0:
+        # multi-instance local-max mode (VOTING_THRESHOLD > 0 configs)
+        from posecnn_tpu.ops.hough_voting import hough_voting_multi
+
+        hough: HoughOutputs = hough_voting_multi(
+            label_2d,
+            vertex_pred.astype(jnp.float32),
+            extents,
+            meta_data,
+            gt_poses,
+            num_classes=C,
+            is_train=train,
+            voting_threshold=cfg.vote_threshold,
+            per_threshold=cfg.vote_percentage,
+            skip_pixels=cfg.skip_pixels,
+            label_threshold=cfg.label_threshold,
+            class_slots=cfg.hough_class_slots,
+            max_samples=cfg.hough_max_samples,
+            pixel_grid_stride=cfg.hough_pixel_stride,
+        )
+    else:
+        hough = hough_voting(
+            label_2d,
+            vertex_pred.astype(jnp.float32),
+            extents,
+            meta_data,
+            gt_poses,
+            num_classes=C,
+            is_train=train,
+            skip_pixels=cfg.skip_pixels,
+            voting_threshold=cfg.vote_threshold,
+            per_threshold=cfg.vote_percentage,
+            label_threshold=cfg.label_threshold,
+            class_slots=cfg.hough_class_slots,
+            max_samples=cfg.hough_max_samples,
+            center_stride=cfg.hough_center_stride,
+            refine_window=cfg.hough_refine_window,
+            pixel_grid_stride=cfg.hough_pixel_stride,
+        )
     out["rois"] = hough.rois
     out["poses_init"] = hough.poses_init
     out["poses_target"] = hough.poses_target

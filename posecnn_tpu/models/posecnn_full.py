@@ -112,7 +112,7 @@ def posecnn_full_forward(
         num_classes=C, is_train=cfg.is_train, skip_pixels=cfg.skip_pixels,
         label_threshold=cfg.label_threshold, class_slots=cfg.hough_class_slots,
         max_samples=cfg.hough_max_samples, center_stride=cfg.hough_center_stride,
-        refine_window=cfg.hough_refine_window,
+        refine_window=cfg.hough_refine_window, pixel_grid_stride=cfg.hough_pixel_stride,
     )
     out.update(
         rois=hough.rois, poses_init=hough.poses_init, poses_target=hough.poses_target,

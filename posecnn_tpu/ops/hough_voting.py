@@ -87,13 +87,17 @@ def _project_box_threshold(extent, fx, fy, px, py, distance, factor=0.6):
     return jnp.maximum(width, height) * factor
 
 
-def _sample_class_pixels(label_flat, cls, skip_pixels, max_samples, slot_valid):
+def _sample_class_pixels(label_flat, cls, skip_pixels, max_samples, slot_valid, pixel_index=None):
     """Deterministic fixed-size subsample of one class's pixels.
 
     Returns (indices (P,), valid (P,)) — every `skip_pixels`-th pixel of the
-    class in row-major order, padded to P = max_samples.
+    class in row-major order, padded to P = max_samples. `pixel_index` maps
+    candidate positions to flat pixel indices (identity if None) — used by
+    the strided-grid fast path where `label_flat` is already subsampled.
     """
     hw = label_flat.shape[0]
+    if pixel_index is None:
+        pixel_index = jnp.arange(hw, dtype=jnp.int32)
     m = (label_flat == cls) & slot_valid
     rank = jnp.cumsum(m) - 1
     take = m & (rank % skip_pixels == 0)
@@ -101,7 +105,7 @@ def _sample_class_pixels(label_flat, cls, skip_pixels, max_samples, slot_valid):
     keep = take & (srank < max_samples)
     dest = jnp.where(keep, srank, max_samples)
     samp = jnp.zeros((max_samples + 1,), dtype=jnp.int32).at[dest].set(
-        jnp.arange(hw, dtype=jnp.int32), mode="drop"
+        pixel_index, mode="drop"
     )
     n_kept = jnp.sum(keep)
     return samp[:max_samples], jnp.arange(max_samples) < n_kept
@@ -204,6 +208,7 @@ def hough_voting(
     center_stride: int = 4,
     refine_window: int = 16,
     sample_chunk: int = 128,
+    pixel_grid_stride: int = 1,
 ) -> HoughOutputs:
     """Fixed-shape Hough voting.
 
@@ -235,10 +240,27 @@ def hough_voting(
     gxs = jnp.arange(0, W, center_stride, dtype=jnp.float32)
     gys = jnp.arange(0, H, center_stride, dtype=jnp.float32)
 
+    # strided-grid candidate subsampling (TPU fast path): compaction runs a
+    # scatter whose cost scales with the candidate count — on a g-strided
+    # pixel grid it shrinks g^2-fold. g=1 reproduces reference semantics
+    # (row-major every-skip_pixels-th class pixel); g>1 replaces the pixel
+    # skip with a spatially uniform grid (set skip_pixels=1 alongside).
+    g = pixel_grid_stride
+    if g > 1:
+        grid_rows = jnp.arange(0, H, g)
+        grid_cols = jnp.arange(0, W, g)
+        cand_index = (grid_rows[:, None] * W + grid_cols[None, :]).reshape(-1).astype(jnp.int32)
+    else:
+        cand_index = None
+
     def one_image(lab, vert, meta, b_idx):
         fx, px_, fy, py_ = meta[0], meta[2], meta[4], meta[5]
 
-        counts = jnp.zeros((C,), jnp.int32).at[lab].add(1)
+        # class histogram as a compare-reduce, not a scatter-add (a 307k-
+        # element scatter costs ~6 ms on TPU; this is a fused VPU reduce)
+        counts = jnp.sum(
+            (lab[None, :] == jnp.arange(C, dtype=lab.dtype)[:, None]).astype(jnp.int32), axis=1
+        )
         active = (counts > label_threshold) & (jnp.arange(C) > 0)
         order = jnp.sort(jnp.where(active, jnp.arange(C), C))
         if S > C:  # more slots than classes: pad with the invalid marker C
@@ -247,8 +269,12 @@ def hough_voting(
         slot_valid = slot_cls < C
         slot_cls_safe = jnp.where(slot_valid, slot_cls, 0)
 
+        lab_cand = lab[cand_index] if cand_index is not None else lab
+
         def per_slot(cls, ok):
-            idx, svalid = _sample_class_pixels(lab, cls, skip_pixels, P, ok)
+            idx, svalid = _sample_class_pixels(
+                lab_cand, cls, skip_pixels, P, ok, pixel_index=cand_index
+            )
             x = (idx % W).astype(jnp.float32)
             y = (idx // W).astype(jnp.float32)
             u = jnp.where(svalid, vert[idx, 3 * cls + 0], 0.0)
@@ -420,5 +446,246 @@ def hough_voting(
     domains = jnp.where(valid, jnp.broadcast_to(domain[:, :, None], (B, S, J)).reshape(R), 0)
     num_rois = jnp.sum(valid.astype(jnp.int32))
 
+    out = HoughOutputs(rois, poses_init, poses_target, poses_weight, domains, valid, num_rois)
+    return jax.tree_util.tree_map(jax.lax.stop_gradient, out)
+
+
+def hough_voting_multi(
+    label: jnp.ndarray,
+    vertex_pred: jnp.ndarray,
+    extents: jnp.ndarray,
+    meta_data: jnp.ndarray,
+    gt_poses: jnp.ndarray,
+    *,
+    num_classes: int,
+    is_train: bool,
+    voting_threshold: float,
+    per_threshold: float = 0.02,
+    skip_pixels: int = 10,
+    inlier_threshold: float = 0.9,
+    label_threshold: int = 500,
+    class_slots: int = 8,
+    max_samples: int = 1024,
+    max_detections_per_image: int = 16,
+    sample_chunk: int = 128,
+    pixel_grid_stride: int = 1,
+) -> HoughOutputs:
+    """Multi-instance mode (`voting_threshold > 0`): local maxima of the
+    dense vote map instead of one argmax per class.
+
+    Reference: compute_max_indexes_kernel (.cu.cc:335-383) — a center is
+    emitted when its votes exceed `voting_threshold`, it is a local max in a
+    7x7 window, its inlier bbox is positive and votes/(bbw*bbh) >=
+    `per_threshold`. Detections are capped at MAX_ROI/batch per image
+    (here `max_detections_per_image`), top-scored first. Full-resolution
+    vote maps only (center_stride=1): local maxima don't survive coarse
+    grids. Costs one extra dense pass for the per-center inlier bbox.
+    """
+    B, H, W = label.shape
+    C = num_classes
+    S = class_slots
+    P = max_samples
+    D = max_detections_per_image
+    J = 9 if is_train else 1
+    sample_chunk = min(sample_chunk, P)
+
+    label_flat = label.reshape(B, H * W)
+    vert_flat = vertex_pred.reshape(B, H * W, 3 * C)
+    gt_cls = gt_poses[:, 1]
+    gt_batch = gt_poses[:, 0]
+    gt_any = jnp.any(gt_cls > 0)
+    gxs = jnp.arange(0, W, dtype=jnp.float32)
+    gys = jnp.arange(0, H, dtype=jnp.float32)
+
+    g = pixel_grid_stride
+    if g > 1:
+        grid_rows = jnp.arange(0, H, g)
+        grid_cols = jnp.arange(0, W, g)
+        cand_index = (grid_rows[:, None] * W + grid_cols[None, :]).reshape(-1).astype(jnp.int32)
+    else:
+        cand_index = None
+
+    def one_image(lab, vert, meta, b_idx):
+        fx, px_, fy, py_ = meta[0], meta[2], meta[4], meta[5]
+        counts = jnp.sum(
+            (lab[None, :] == jnp.arange(C, dtype=lab.dtype)[:, None]).astype(jnp.int32), axis=1
+        )
+        active = (counts > label_threshold) & (jnp.arange(C) > 0)
+        order = jnp.sort(jnp.where(active, jnp.arange(C), C))
+        if S > C:
+            order = jnp.pad(order, (0, S - C), constant_values=C)
+        slot_cls = order[:S]
+        slot_valid = slot_cls < C
+        slot_cls_safe = jnp.where(slot_valid, slot_cls, 0)
+        lab_cand = lab[cand_index] if cand_index is not None else lab
+
+        def per_slot(cls, ok):
+            idx, svalid = _sample_class_pixels(
+                lab_cand, cls, skip_pixels, P, ok, pixel_index=cand_index
+            )
+            x = (idx % W).astype(jnp.float32)
+            y = (idx // W).astype(jnp.float32)
+            u = jnp.where(svalid, vert[idx, 3 * cls + 0], 0.0)
+            v = jnp.where(svalid, vert[idx, 3 * cls + 1], 0.0)
+            d = jnp.where(svalid, jnp.exp(vert[idx, 3 * cls + 2]), 0.0)
+            thr = _project_box_threshold(extents[cls], fx, fy, px_, py_, d)
+            return x, y, u, v, d, thr, svalid
+
+        sx, sy, su, sv, sd, sthr, svalid = jax.vmap(per_slot)(slot_cls_safe, slot_valid)
+
+        def slot_votes(args):
+            x, y, u, v, d, thr, val = args
+            return _accumulate_votes(x, y, u, v, d, thr, val, gxs, gys, inlier_threshold, sample_chunk)
+
+        votes, dsum = jax.lax.map(slot_votes, (sx, sy, su, sv, sd, sthr, svalid))
+        dist = jnp.where(votes > 0, dsum / jnp.maximum(votes, 1.0), 0.0)  # (S,H,W)
+
+        # dense per-center inlier bbox using the per-center mean distance
+        thr_c = jax.vmap(
+            lambda c, dmap: _project_box_threshold(
+                extents[c], fx, fy, px_, py_, dmap.reshape(-1)
+            ).reshape(H, W)
+        )(slot_cls_safe, dist)  # (S,H,W)
+
+        def slot_bb_dense(args):
+            x, y, u, v, val, thr_map = args
+            n_chunks = P // sample_chunk
+            data = (
+                x.reshape(n_chunks, -1), y.reshape(n_chunks, -1),
+                u.reshape(n_chunks, -1), v.reshape(n_chunks, -1),
+                val.reshape(n_chunks, -1),
+            )
+
+            def body(carry, xs):
+                bw, bh = carry
+                xc, yc, uc, vc, vl = xs
+                dx = gxs[None, None, :] - xc[:, None, None]
+                dy = gys[None, :, None] - yc[:, None, None]
+                dot = uc[:, None, None] * dx + vc[:, None, None] * dy
+                n1 = jnp.sqrt(uc * uc + vc * vc)[:, None, None]
+                n2 = jnp.sqrt(dx * dx + dy * dy)
+                inl = (dot > inlier_threshold * n1 * n2) & vl[:, None, None]
+                okb = inl & (jnp.abs(dx) < thr_map[None]) & (jnp.abs(dy) < thr_map[None])
+                bw = jnp.maximum(bw, jnp.max(jnp.where(okb, jnp.abs(dx), -1.0), axis=0))
+                bh = jnp.maximum(bh, jnp.max(jnp.where(okb, jnp.abs(dy), -1.0), axis=0))
+                return (bw, bh), None
+
+            init = (jnp.full((H, W), -1.0), jnp.full((H, W), -1.0))
+            (bw, bh), _ = jax.lax.scan(body, init, data)
+            return bw, bh
+
+        bw, bh = jax.lax.map(slot_bb_dense, (sx, sy, su, sv, svalid, thr_c))
+        bb_w = jnp.where(votes > 0, 2.0 * bw, 0.0)
+        bb_h = jnp.where(votes > 0, 2.0 * bh, 0.0)
+
+        # local max in a 7x7 window (kernel_size=3, .cu.cc:347)
+        winmax = jax.lax.reduce_window(
+            votes, -jnp.inf, jax.lax.max,
+            window_dimensions=(1, 7, 7), window_strides=(1, 1, 1), padding="SAME",
+        )
+        selected = (
+            (votes > voting_threshold)
+            & (bb_h > 0) & (bb_w > 0)
+            & (votes >= winmax)
+            & (votes / jnp.maximum(bb_h * bb_w, 1e-9) >= per_threshold)
+            & slot_valid[:, None, None]
+        )
+        score_flat = jnp.where(selected, votes, -1.0).reshape(-1)
+        top_scores, top_idx = jax.lax.top_k(score_flat, D)
+        det_valid = top_scores > 0
+        s_idx = top_idx // (H * W)
+        pix = top_idx % (H * W)
+        cy = (pix // W).astype(jnp.float32)
+        cx = (pix % W).astype(jnp.float32)
+        cls_det = slot_cls_safe[s_idx]
+        d_det = dist.reshape(S, -1)[s_idx, pix]
+        bw_det = bb_w.reshape(S, -1)[s_idx, pix]
+        bh_det = bb_h.reshape(S, -1)[s_idx, pix]
+
+        scale = 0.05
+        rx = (cx - px_) / fx
+        ry = (cy - py_) / fy
+        box = jnp.stack(
+            [
+                cx - bw_det * (0.5 + scale), cy - bh_det * (0.5 + scale),
+                cx + bw_det * (0.5 + scale), cy + bh_det * (0.5 + scale),
+            ],
+            axis=1,
+        )
+        pose = jnp.stack(
+            [
+                jnp.ones_like(d_det), jnp.zeros_like(d_det), jnp.zeros_like(d_det),
+                jnp.zeros_like(d_det), rx * d_det, ry * d_det, d_det,
+            ],
+            axis=1,
+        )
+
+        def det_target(cls, det_box, ok):
+            def gt_box(gt_row):
+                return _project_gt_box(
+                    extents[jnp.clip(gt_row[1].astype(jnp.int32), 0, C - 1)],
+                    gt_row[6:10], gt_row[10:13], fx, fy, px_, py_,
+                )
+
+            boxes_gt = jax.vmap(gt_box)(gt_poses)
+            ious = _iou(det_box[None, :], boxes_gt)
+            match = (
+                (gt_cls.astype(jnp.int32) == cls)
+                & (gt_batch.astype(jnp.int32) == b_idx)
+                & (gt_cls > 0) & (ious > 0.2)
+            )
+            found = jnp.any(match)
+            first = jnp.argmax(match)
+            quat = gt_poses[first, 6:10] * found
+            tgt = jnp.zeros((4 * C,)).at[4 * cls + jnp.arange(4)].set(quat)
+            wgt = jnp.zeros((4 * C,)).at[4 * cls + jnp.arange(4)].set(
+                jnp.where(found & ok, 1.0, 0.0)
+            )
+            return jnp.where(ok, tgt, 0.0), wgt
+
+        targets, weights = jax.vmap(det_target)(cls_det, box, det_valid)
+        domain = jnp.where(gt_any, 0, 1) * jnp.ones((D,), jnp.int32)
+        return cls_det, det_valid, box, top_scores, pose, targets, weights, domain
+
+    metas = meta_data.reshape(B, -1)
+    outs = jax.vmap(one_image)(label_flat, vert_flat, metas, jnp.arange(B))
+    cls_det, det_valid, box, score, pose, targets, weights, domain = outs
+
+    ww = box[..., 2] - box[..., 0]
+    hh = box[..., 3] - box[..., 1]
+    jbox = jnp.stack(
+        [
+            box[..., None, 0] + _JITTER[None, None, :J, 0] * 0.05 * ww[..., None],
+            box[..., None, 1] + _JITTER[None, None, :J, 1] * 0.05 * hh[..., None],
+            box[..., None, 0] + _JITTER[None, None, :J, 0] * 0.05 * ww[..., None] + ww[..., None],
+            box[..., None, 1] + _JITTER[None, None, :J, 1] * 0.05 * hh[..., None] + hh[..., None],
+        ],
+        axis=-1,
+    )
+    if not is_train:
+        jbox = box[:, :, None, :]
+
+    batch_col = jnp.broadcast_to(jnp.arange(B, dtype=jnp.float32)[:, None, None], (B, D, J))
+    cls_col = jnp.broadcast_to(cls_det[:, :, None].astype(jnp.float32), (B, D, J))
+    score_col = jnp.broadcast_to(score[:, :, None], (B, D, J))
+    rois = jnp.concatenate(
+        [batch_col[..., None], cls_col[..., None], jbox, score_col[..., None]], axis=-1
+    )
+    R = B * D * J
+    valid = jnp.broadcast_to(det_valid[:, :, None], (B, D, J)).reshape(R)
+    rois = jnp.where(valid[:, None], rois.reshape(R, 7), 0.0)
+    poses_init = jnp.where(
+        valid[:, None], jnp.broadcast_to(pose[:, :, None, :], (B, D, J, 7)).reshape(R, 7), 0.0
+    )
+    poses_target = jnp.where(
+        valid[:, None],
+        jnp.broadcast_to(targets[:, :, None, :], (B, D, J, 4 * C)).reshape(R, 4 * C), 0.0,
+    )
+    poses_weight = jnp.where(
+        valid[:, None],
+        jnp.broadcast_to(weights[:, :, None, :], (B, D, J, 4 * C)).reshape(R, 4 * C), 0.0,
+    )
+    domains = jnp.where(valid, jnp.broadcast_to(domain[:, :, None], (B, D, J)).reshape(R), 0)
+    num_rois = jnp.sum(valid.astype(jnp.int32))
     out = HoughOutputs(rois, poses_init, poses_target, poses_weight, domains, valid, num_rois)
     return jax.tree_util.tree_map(jax.lax.stop_gradient, out)

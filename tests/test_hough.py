@@ -158,3 +158,71 @@ def test_hough_skip_pixels_subsamples():
         np.testing.assert_allclose(rois3[i, 6], votes, rtol=1e-5)
     # fewer samples -> fewer votes than skip=1
     assert np.asarray(out3.rois)[:, 6].max() < np.asarray(out1.rois)[:, 6].max()
+
+
+def test_hough_grid_sampling_mode():
+    """pixel_grid_stride>1 (TPU fast path) must find the same centers/depths
+    as the exact mode, with proportionally fewer votes."""
+    label, vertex, extents, meta, centers, depths = _scene()
+    exact = _run(label, vertex, extents, meta, stride=1, skip=1)
+    gt = np.zeros((3, 13), dtype=np.float32)
+    grid = hough_voting(
+        jnp.asarray(label[None]), jnp.asarray(vertex[None]), jnp.asarray(extents),
+        jnp.asarray(meta[None]), jnp.asarray(gt),
+        num_classes=C, is_train=False, skip_pixels=1, label_threshold=10,
+        class_slots=3, max_samples=128, center_stride=1, refine_window=8,
+        sample_chunk=32, pixel_grid_stride=2,
+    )
+    re_, rg = np.asarray(exact.rois), np.asarray(grid.rois)
+    ve, vg = np.asarray(exact.valid), np.asarray(grid.valid)
+    assert int(exact.num_rois) == int(grid.num_rois)
+    for i in range(len(ve)):
+        if ve[i]:
+            assert vg[i]
+            # same class, nearby center
+            assert re_[i, 1] == rg[i, 1]
+            assert abs((re_[i, 2] + re_[i, 4]) - (rg[i, 2] + rg[i, 4])) / 2 <= 2.0
+            assert abs((re_[i, 3] + re_[i, 5]) - (rg[i, 3] + rg[i, 5])) / 2 <= 2.0
+            # ~1/4 of the candidates -> fewer votes
+            assert rg[i, 6] < re_[i, 6]
+    pe, pg = np.asarray(exact.poses_init), np.asarray(grid.poses_init)
+    np.testing.assert_allclose(pg[ve, 6], pe[ve, 6], rtol=0.02)  # depths match
+
+
+def test_hough_multi_instance_mode():
+    """Two instances of the same class: the local-max mode finds both."""
+    from posecnn_tpu.ops.hough_voting import hough_voting_multi
+
+    rng = np.random.RandomState(0)
+    label = np.zeros((H, W), dtype=np.int32)
+    vertex = rng.randn(H, W, 3 * C).astype(np.float32) * 0.1
+    centers = [(8.0, 8.0), (24.0, 14.0)]
+    for cx, cy in centers:
+        for y in range(H):
+            for x in range(W):
+                if (x - cx) ** 2 + (y - cy) ** 2 < 25:
+                    label[y, x] = 1
+                    dx, dy = cx - x, cy - y
+                    n = np.sqrt(dx * dx + dy * dy) + 1e-10
+                    vertex[y, x, 3 + 0] = dx / n
+                    vertex[y, x, 3 + 1] = dy / n
+                    vertex[y, x, 3 + 2] = np.log(1.0)
+    extents = np.zeros((C, 3), dtype=np.float32)
+    extents[1] = [0.2, 0.2, 0.2]
+    meta = np.zeros(48, dtype=np.float32)
+    meta[0], meta[4] = 60.0, 60.0
+    meta[2], meta[5] = W / 2.0, H / 2.0
+    out = hough_voting_multi(
+        jnp.asarray(label[None]), jnp.asarray(vertex[None]), jnp.asarray(extents),
+        jnp.asarray(meta[None]), jnp.asarray(np.zeros((2, 13), np.float32)),
+        num_classes=C, is_train=False, voting_threshold=3.0, per_threshold=0.0,
+        skip_pixels=1, label_threshold=10, class_slots=2, max_samples=128,
+        max_detections_per_image=8, sample_chunk=32,
+    )
+    rois = np.asarray(out.rois)
+    valid = np.asarray(out.valid)
+    dets = rois[valid]
+    assert len(dets) >= 2
+    found_centers = {( round((r[2]+r[4])/2), round((r[3]+r[5])/2) ) for r in dets[:2]}
+    for cx, cy in centers:
+        assert any(abs(fx-cx) <= 2 and abs(fy-cy) <= 2 for fx, fy in found_centers), (found_centers, (cx,cy))
