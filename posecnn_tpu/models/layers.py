@@ -171,6 +171,41 @@ def deconv(params, x: jnp.ndarray, stride: int, padding: str = "SAME") -> jnp.nd
     )
 
 
+def conv1x1_upsample(
+    conv_params,
+    deconv_params,
+    x: jnp.ndarray,
+    stride: int,
+    relu: bool = True,
+    compute_dtype: Optional[jnp.dtype] = None,
+) -> jnp.ndarray:
+    """`conv1x1(deconv(x))` computed as `deconv(conv1x1(x)) + bias`.
+
+    A 1x1 conv is a per-pixel channel-mixing linear map; the bilinear
+    transposed conv is a per-channel spatial linear map — the two commute
+    exactly, so the channel reduction can run at low resolution and the
+    full-resolution upsample touches C_out channels instead of C_in (3-6x
+    less HBM traffic for the score/vertex heads, the bandwidth hot spot of
+    the 640x480 graph). The bias is added after the upsample because the
+    bilinear kernel is not constant-preserving at image borders; ReLU (if
+    any) is applied last, as in the reference order (vgg16_convs.py:92-95).
+    """
+    w = conv_params["weights"]
+    xx = x
+    if compute_dtype is not None:
+        xx = xx.astype(compute_dtype)
+        w = w.astype(compute_dtype)
+    y = jax.lax.conv_general_dilated(
+        xx, w, (1, 1), "SAME", dimension_numbers=DN
+    ).astype(jnp.float32)
+    y = deconv(deconv_params, y, stride)
+    if "biases" in conv_params:
+        y = y + conv_params["biases"]
+    if relu:
+        y = jax.nn.relu(y)
+    return y
+
+
 def max_pool(x: jnp.ndarray, k: int = 2, stride: int = 2, padding: str = "SAME") -> jnp.ndarray:
     return jax.lax.reduce_window(
         x, -jnp.inf, jax.lax.max,

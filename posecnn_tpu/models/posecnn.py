@@ -58,6 +58,9 @@ class PoseCNNConfig:
     # candidate-pixel grid stride inside hough voting (1 = reference
     # semantics; >1 = spatially uniform subsampling, use with skip_pixels=1)
     hough_pixel_stride: int = 1
+    # "exact" = reference row-major compaction; "approx" = TPU-fast
+    # approx_max_k class-pixel selection (see ops/hough_voting._slot_samples)
+    hough_sampler: str = "exact"
     label_threshold: int = 500
     # use bilinear crop_pool instead of exact roi_pool (faster on TPU)
     use_crop_pool: bool = False
@@ -141,8 +144,12 @@ def posecnn_forward(
     score_conv4 = L.conv2d(params["score_conv4"], conv4, relu=True, compute_dtype=dt)
     add_score = score_conv4 + upscore_conv5
     add_score = L.dropout(r_drop, add_score, keep)
-    upscore = L.deconv(params["upscore"], add_score, stride=8)
-    score = L.conv2d(params["score"], upscore, relu=True, compute_dtype=dt)
+    # 1x1 score conv applied at 1/8 res, then x8 upsample (exact commute —
+    # see conv1x1_upsample; the reference order is deconv-then-conv,
+    # vgg16_convs.py:92-95)
+    score = L.conv1x1_upsample(
+        params["score"], params["upscore"], add_score, stride=8, relu=True, compute_dtype=dt
+    )
     out["score"] = score
     out["prob"] = L.log_softmax_hd(score)
     prob_normalized = L.softmax_hd(score)
@@ -162,8 +169,10 @@ def posecnn_forward(
     sc4v = L.conv2d(params["score_conv4_vertex"], net["conv4_3"], relu=False, compute_dtype=dt)
     addv = sc4v + up5v
     addv = L.dropout(r_dropv, addv, keep)
-    upv = L.deconv(params["upscore_vertex"], addv, stride=8)
-    vertex_pred = L.conv2d(params["vertex_pred"], upv, relu=False, compute_dtype=dt)
+    vertex_pred = L.conv1x1_upsample(
+        params["vertex_pred"], params["upscore_vertex"], addv, stride=8, relu=False,
+        compute_dtype=dt,
+    )
     out["vertex_pred"] = vertex_pred
 
     # ---- hough voting (in-graph; zero gradients)
@@ -188,6 +197,7 @@ def posecnn_forward(
             class_slots=cfg.hough_class_slots,
             max_samples=cfg.hough_max_samples,
             pixel_grid_stride=cfg.hough_pixel_stride,
+            sampler=cfg.hough_sampler,
         )
     else:
         hough = hough_voting(
@@ -207,6 +217,7 @@ def posecnn_forward(
             center_stride=cfg.hough_center_stride,
             refine_window=cfg.hough_refine_window,
             pixel_grid_stride=cfg.hough_pixel_stride,
+            sampler=cfg.hough_sampler,
         )
     out["rois"] = hough.rois
     out["poses_init"] = hough.poses_init

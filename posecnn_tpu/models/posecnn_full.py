@@ -113,6 +113,7 @@ def posecnn_full_forward(
         label_threshold=cfg.label_threshold, class_slots=cfg.hough_class_slots,
         max_samples=cfg.hough_max_samples, center_stride=cfg.hough_center_stride,
         refine_window=cfg.hough_refine_window, pixel_grid_stride=cfg.hough_pixel_stride,
+        sampler=cfg.hough_sampler,
     )
     out.update(
         rois=hough.rois, poses_init=hough.poses_init, poses_target=hough.poses_target,

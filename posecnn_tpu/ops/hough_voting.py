@@ -38,7 +38,7 @@ TPU design notes:
 from __future__ import annotations
 
 from functools import partial
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -109,6 +109,39 @@ def _sample_class_pixels(label_flat, cls, skip_pixels, max_samples, slot_valid, 
     )
     n_kept = jnp.sum(keep)
     return samp[:max_samples], jnp.arange(max_samples) < n_kept
+
+
+def _slot_samples(
+    lab_cand, cls, ok, vert, extent, cand_index, W, P, skip_pixels, fx, fy, px_, py_, sampler
+):
+    """Select up to P sample pixels of class `cls` and gather their vote data.
+
+    sampler="exact": the reference's every-skip_pixels-th class pixel in
+    row-major order (stream compaction: cumsum + scatter).
+    sampler="approx": `jax.lax.approx_max_k` over the 0/1 class mask — a
+    hardware-accelerated tiled reduction (the compaction scatter is ~2.3 ms
+    per 640x480 frame on TPU, the hottest op of the inference graph). All
+    class pixels share key 1.0, so any k of them form a valid top-k; the
+    tiling spreads picks across the image like the reference's spatial
+    subsample. skip_pixels is ignored in this mode.
+    """
+    if sampler == "approx":
+        keep = ((lab_cand == cls) & ok).astype(jnp.float32)
+        vals, idx_c = jax.lax.approx_max_k(keep, P)
+        svalid = vals > 0.5
+        idx = cand_index[idx_c] if cand_index is not None else idx_c
+    else:
+        idx, svalid = _sample_class_pixels(
+            lab_cand, cls, skip_pixels, P, ok, pixel_index=cand_index
+        )
+    x = (idx % W).astype(jnp.float32)
+    y = (idx // W).astype(jnp.float32)
+    u = jnp.where(svalid, vert[idx, 3 * cls + 0], 0.0)
+    v = jnp.where(svalid, vert[idx, 3 * cls + 1], 0.0)
+    # sanitize padded rows: exp of garbage could be inf -> 0*inf = NaN
+    d = jnp.where(svalid, jnp.exp(vert[idx, 3 * cls + 2]), 0.0)
+    thr = _project_box_threshold(extent, fx, fy, px_, py_, d)
+    return x, y, u, v, d, thr, svalid
 
 
 def _vote_terms(cx, cy, x, y, u, v, thr, valid, inlier_threshold):
@@ -209,6 +242,8 @@ def hough_voting(
     refine_window: int = 16,
     sample_chunk: int = 128,
     pixel_grid_stride: int = 1,
+    use_pallas: Optional[bool] = None,
+    sampler: str = "exact",
 ) -> HoughOutputs:
     """Fixed-shape Hough voting.
 
@@ -229,6 +264,8 @@ def hough_voting(
     J = 9 if is_train else 1
     sample_chunk = min(sample_chunk, P)
     assert P % sample_chunk == 0, f"max_samples {P} not divisible by chunk {sample_chunk}"
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
 
     label_flat = label.reshape(B, H * W)
     vert_flat = vertex_pred.reshape(B, H * W, 3 * C)
@@ -272,33 +309,41 @@ def hough_voting(
         lab_cand = lab[cand_index] if cand_index is not None else lab
 
         def per_slot(cls, ok):
-            idx, svalid = _sample_class_pixels(
-                lab_cand, cls, skip_pixels, P, ok, pixel_index=cand_index
+            return _slot_samples(
+                lab_cand, cls, ok, vert, extents[cls], cand_index, W, P,
+                skip_pixels, fx, fy, px_, py_, sampler,
             )
-            x = (idx % W).astype(jnp.float32)
-            y = (idx // W).astype(jnp.float32)
-            u = jnp.where(svalid, vert[idx, 3 * cls + 0], 0.0)
-            v = jnp.where(svalid, vert[idx, 3 * cls + 1], 0.0)
-            # sanitize padded rows: exp of garbage could be inf -> 0*inf = NaN
-            d = jnp.where(svalid, jnp.exp(vert[idx, 3 * cls + 2]), 0.0)
-            thr = _project_box_threshold(extents[cls], fx, fy, px_, py_, d)
-            return x, y, u, v, d, thr, svalid
 
         sx, sy, su, sv, sd, sthr, svalid = jax.vmap(per_slot)(slot_cls_safe, slot_valid)
 
-        def slot_votes(args):
-            x, y, u, v, d, thr, val = args
-            return _accumulate_votes(
-                x, y, u, v, d, thr, val, gxs, gys, inlier_threshold, sample_chunk
-            )
+        gw = gxs.shape[0]
+        gh = gys.shape[0]
+        if use_pallas:
+            from posecnn_tpu.ops.pallas.voting import accumulate_votes_slots
 
-        votes, dsum = jax.lax.map(slot_votes, (sx, sy, su, sv, sd, sthr, svalid))
-        # (S, Gh, Gw)
+            tn1 = inlier_threshold * jnp.sqrt(su * su + sv * sv)
+            packed = jnp.stack(
+                [sx, sy, su, sv, sd, sthr, tn1, svalid.astype(jnp.float32)], axis=1
+            )  # (S, 8, P)
+            cx_grid = jnp.tile(gxs, gh)
+            cy_grid = jnp.repeat(gys, gw)
+            centers = jnp.stack([cx_grid, cy_grid], axis=0)  # (2, Gh*Gw)
+            flat, dflat = accumulate_votes_slots(packed, centers)
+            dsum = dflat.reshape(S, gh, gw)
+        else:
+
+            def slot_votes(args):
+                x, y, u, v, d, thr, val = args
+                return _accumulate_votes(
+                    x, y, u, v, d, thr, val, gxs, gys, inlier_threshold, sample_chunk
+                )
+
+            votes, dsum = jax.lax.map(slot_votes, (sx, sy, su, sv, sd, sthr, svalid))
+            # (S, Gh, Gw)
+            flat = votes.reshape(S, -1)
 
         # per-slot coarse argmax (thrust::max_element — first max wins)
-        flat = votes.reshape(S, -1)
         best = jnp.argmax(flat, axis=1)
-        gw = gxs.shape[0]
         bx = gxs[best % gw]
         by = gys[best // gw]
 
@@ -469,6 +514,7 @@ def hough_voting_multi(
     max_detections_per_image: int = 16,
     sample_chunk: int = 128,
     pixel_grid_stride: int = 1,
+    sampler: str = "exact",
 ) -> HoughOutputs:
     """Multi-instance mode (`voting_threshold > 0`): local maxima of the
     dense vote map instead of one argmax per class.
@@ -520,16 +566,10 @@ def hough_voting_multi(
         lab_cand = lab[cand_index] if cand_index is not None else lab
 
         def per_slot(cls, ok):
-            idx, svalid = _sample_class_pixels(
-                lab_cand, cls, skip_pixels, P, ok, pixel_index=cand_index
+            return _slot_samples(
+                lab_cand, cls, ok, vert, extents[cls], cand_index, W, P,
+                skip_pixels, fx, fy, px_, py_, sampler,
             )
-            x = (idx % W).astype(jnp.float32)
-            y = (idx // W).astype(jnp.float32)
-            u = jnp.where(svalid, vert[idx, 3 * cls + 0], 0.0)
-            v = jnp.where(svalid, vert[idx, 3 * cls + 1], 0.0)
-            d = jnp.where(svalid, jnp.exp(vert[idx, 3 * cls + 2]), 0.0)
-            thr = _project_box_threshold(extents[cls], fx, fy, px_, py_, d)
-            return x, y, u, v, d, thr, svalid
 
         sx, sy, su, sv, sd, sthr, svalid = jax.vmap(per_slot)(slot_cls_safe, slot_valid)
 

@@ -226,3 +226,82 @@ def test_hough_multi_instance_mode():
     found_centers = {( round((r[2]+r[4])/2), round((r[3]+r[5])/2) ) for r in dets[:2]}
     for cx, cy in centers:
         assert any(abs(fx-cx) <= 2 and abs(fy-cy) <= 2 for fx, fy in found_centers), (found_centers, (cx,cy))
+
+
+def test_pallas_vote_kernel_matches_jax():
+    """The Pallas vote-accumulation kernel (interpret mode) must match the
+    XLA broadcast-reduce path bit-for-bit on the same f32 math."""
+    from posecnn_tpu.ops.pallas.voting import accumulate_votes_slots
+
+    rng = np.random.RandomState(3)
+    S, P, NC = 3, 128, 300  # NC deliberately not a multiple of the block
+    px = rng.uniform(0, W, (S, P)).astype(np.float32)
+    py = rng.uniform(0, H, (S, P)).astype(np.float32)
+    ang = rng.uniform(0, 2 * np.pi, (S, P)).astype(np.float32)
+    u, v = np.cos(ang), np.sin(ang)
+    d = rng.uniform(0.5, 2.0, (S, P)).astype(np.float32)
+    thr = rng.uniform(2.0, 12.0, (S, P)).astype(np.float32)
+    tn1 = 0.9 * np.sqrt(u * u + v * v)
+    val = (rng.rand(S, P) > 0.2).astype(np.float32)
+    samples = jnp.asarray(
+        np.stack([px, py, u, v, d, thr, tn1, val], axis=1).astype(np.float32)
+    )
+    cx = rng.uniform(0, W, NC).astype(np.float32)
+    cy = rng.uniform(0, H, NC).astype(np.float32)
+    centers = jnp.asarray(np.stack([cx, cy], axis=0))
+
+    v_ref, d_ref = accumulate_votes_slots(samples, centers, use_pallas=False)
+    v_pl, d_pl = accumulate_votes_slots(samples, centers, use_pallas=True, interpret=True, block=128)
+    np.testing.assert_allclose(np.asarray(v_pl), np.asarray(v_ref), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(d_pl), np.asarray(d_ref), rtol=1e-6, atol=1e-5)
+
+
+def test_hough_pallas_path_matches_default():
+    """hough_voting with the packed pallas front-end (interpret kernel via
+    monkeypatched backend selection) equals the lax.map path end-to-end."""
+    import posecnn_tpu.ops.pallas.voting as V
+
+    label, vertex, extents, meta, centers, depths = _scene()
+    args = (
+        jnp.asarray(label[None]), jnp.asarray(vertex[None]), jnp.asarray(extents),
+        jnp.asarray(meta[None]), jnp.asarray(np.zeros((1, 13), np.float32)),
+    )
+    kw = dict(num_classes=C, is_train=False, skip_pixels=1, label_threshold=10,
+              class_slots=2, max_samples=256, center_stride=4, refine_window=8,
+              sample_chunk=64)
+    ref = hough_voting(*args, use_pallas=False, **kw)
+
+    orig = V._votes_pallas
+    try:
+        V._votes_pallas = lambda s, c, block, interpret: orig(s, c, block, True)
+        out = hough_voting(*args, use_pallas=True, **kw)
+    finally:
+        V._votes_pallas = orig
+    np.testing.assert_allclose(np.asarray(out.rois), np.asarray(ref.rois), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(out.poses_init), np.asarray(ref.poses_init), atol=1e-4)
+
+
+def test_approx_sampler_detects_same_centers():
+    """The approx_max_k sampler must find the same object centers as the
+    exact compaction sampler (sample SET differs; vote argmax must not)."""
+    label, vertex, extents, meta, centers, depths = _scene()
+    args = (
+        jnp.asarray(label[None]), jnp.asarray(vertex[None]), jnp.asarray(extents),
+        jnp.asarray(meta[None]), jnp.asarray(np.zeros((1, 13), np.float32)),
+    )
+    kw = dict(num_classes=C, is_train=False, skip_pixels=1, label_threshold=10,
+              class_slots=2, max_samples=256, center_stride=1, use_pallas=False)
+    exact = hough_voting(*args, sampler="exact", **kw)
+    approx = hough_voting(*args, sampler="approx", **kw)
+    r_e = np.asarray(exact.rois)[np.asarray(exact.valid)]
+    r_a = np.asarray(approx.rois)[np.asarray(approx.valid)]
+    assert len(r_e) == len(r_a) == 2
+    for re_, ra in zip(r_e, r_a):
+        assert re_[1] == ra[1]  # same class
+        # same voted center within a couple of pixels
+        assert abs((re_[2] + re_[4]) / 2 - (ra[2] + ra[4]) / 2) <= 2
+        assert abs((re_[3] + re_[5]) / 2 - (ra[3] + ra[5]) / 2) <= 2
+    # initial translations agree to a few percent (depth from voted inliers)
+    p_e = np.asarray(exact.poses_init)[np.asarray(exact.valid)]
+    p_a = np.asarray(approx.poses_init)[np.asarray(approx.valid)]
+    np.testing.assert_allclose(p_a[:, 6], p_e[:, 6], rtol=0.05)

@@ -23,6 +23,26 @@ def test_depthwise_deconv_matches_dense_transpose():
         np.testing.assert_allclose(np.asarray(fast), np.asarray(dense), atol=1e-5)
 
 
+def test_conv1x1_upsample_commutes():
+    """conv-at-low-res + upsample must equal the reference deconv-then-conv
+    order exactly (including border handling and bias placement)."""
+    rng = np.random.RandomState(1)
+    for k, s, ci, co, h, w, relu in (
+        (16, 8, 12, 5, 6, 7, True),
+        (16, 8, 12, 5, 6, 7, False),
+        (4, 2, 8, 3, 5, 5, True),
+    ):
+        conv_p = {
+            "weights": jnp.asarray(rng.randn(1, 1, ci, co).astype(np.float32)),
+            "biases": jnp.asarray(rng.randn(co).astype(np.float32)),
+        }
+        dec_p = L.init_deconv(k, ci)
+        x = jnp.asarray(rng.randn(2, h, w, ci).astype(np.float32))
+        ref = L.conv2d(conv_p, L.deconv(dec_p, x, stride=s), relu=relu)
+        fused = L.conv1x1_upsample(conv_p, dec_p, x, stride=s, relu=relu)
+        np.testing.assert_allclose(np.asarray(fused), np.asarray(ref), atol=2e-5)
+
+
 def test_deconv_constant_preserving():
     """Bilinear upsampling of a constant map stays constant in the interior."""
     params = L.init_deconv(4, 3)
