@@ -238,16 +238,20 @@ def posecnn_forward(
     B = data.shape[0]
     R = hough.rois.shape[0]
     rois_b = hough.rois.reshape(B, R // B, 7)
+    # pool in the compute dtype: the pooled features feed bf16 FCs anyway,
+    # and max/lerp in bf16 halves the full-map masked-max bandwidth
+    c5 = net["conv5_3"].astype(dt)
+    c4 = net["conv4_3"].astype(dt)
     if cfg.use_crop_pool:
         from posecnn_tpu.ops.roi_pool import crop_pool_batched
 
-        pool5 = crop_pool_batched(net["conv5_3"], rois_b, spatial_scale=1.0 / 16.0, pool_size=7)
-        pool4 = crop_pool_batched(net["conv4_3"], rois_b, spatial_scale=1.0 / 8.0, pool_size=7)
+        pool5 = crop_pool_batched(c5, rois_b, spatial_scale=1.0 / 16.0, pool_size=7)
+        pool4 = crop_pool_batched(c4, rois_b, spatial_scale=1.0 / 8.0, pool_size=7)
     else:
         from posecnn_tpu.ops.roi_pool import roi_pool_batched
 
-        pool5 = roi_pool_batched(net["conv5_3"], rois_b, 7, 1.0 / 16.0)
-        pool4 = roi_pool_batched(net["conv4_3"], rois_b, 7, 1.0 / 8.0)
+        pool5 = roi_pool_batched(c5, rois_b, 7, 1.0 / 16.0)
+        pool4 = roi_pool_batched(c4, rois_b, 7, 1.0 / 8.0)
     pool_score = (pool5 + pool4).reshape(R, 7, 7, -1)
     fc6 = L.fc(params["fc6"], pool_score, relu=True, compute_dtype=dt)
     fc6 = L.dropout(r_d6, fc6, keep)

@@ -38,12 +38,14 @@ def _pool_one_image(feat: jnp.ndarray, rois: jnp.ndarray, pooled: int, spatial_s
     y1 = jnp.round(rois[:, 3] * spatial_scale).astype(jnp.int32)
     x2 = jnp.round(rois[:, 4] * spatial_scale).astype(jnp.int32)
     y2 = jnp.round(rois[:, 5] * spatial_scale).astype(jnp.int32)
-    roi_w = jnp.maximum(x2 - x1 + 1, 1).astype(feat.dtype)
-    roi_h = jnp.maximum(y2 - y1 + 1, 1).astype(feat.dtype)
+    # bin geometry always in f32 (feat may be bf16 for bandwidth; fractional
+    # bin edges must not be)
+    roi_w = jnp.maximum(x2 - x1 + 1, 1).astype(jnp.float32)
+    roi_h = jnp.maximum(y2 - y1 + 1, 1).astype(jnp.float32)
     bin_w = roi_w / pooled
     bin_h = roi_h / pooled
 
-    pidx = jnp.arange(pooled, dtype=feat.dtype)
+    pidx = jnp.arange(pooled, dtype=jnp.float32)
     # (R, pooled) start/end in feature coords, clipped
     wstart = jnp.clip(jnp.floor(pidx[None, :] * bin_w[:, None]).astype(jnp.int32) + x1[:, None], 0, W)
     wend = jnp.clip(jnp.ceil((pidx[None, :] + 1) * bin_w[:, None]).astype(jnp.int32) + x1[:, None], 0, W)
@@ -134,12 +136,13 @@ def crop_pool(
     B, H, W, C = feat.shape
     R = rois.shape[0]
     n = 2 * pool_size
-    x1 = rois[:, 2] * spatial_scale
-    y1 = rois[:, 3] * spatial_scale
-    x2 = rois[:, 4] * spatial_scale
-    y2 = rois[:, 5] * spatial_scale
-    # sample n points per axis at bin centers (align with crop_and_resize)
-    t = (jnp.arange(n, dtype=feat.dtype) + 0.5) / n
+    x1 = (rois[:, 2] * spatial_scale).astype(jnp.float32)
+    y1 = (rois[:, 3] * spatial_scale).astype(jnp.float32)
+    x2 = (rois[:, 4] * spatial_scale).astype(jnp.float32)
+    y2 = (rois[:, 5] * spatial_scale).astype(jnp.float32)
+    # sample n points per axis at bin centers (align with crop_and_resize);
+    # coordinates stay f32 even when feat is bf16
+    t = (jnp.arange(n, dtype=jnp.float32) + 0.5) / n
     sx = x1[:, None] + t[None, :] * (x2 - x1)[:, None]  # (R,n)
     sy = y1[:, None] + t[None, :] * (y2 - y1)[:, None]
 
@@ -162,9 +165,11 @@ def crop_pool(
         f01 = jnp.take(rows0, xx1, axis=1)
         f10 = jnp.take(rows1, xx0, axis=1)
         f11 = jnp.take(rows1, xx1, axis=1)
-        top = f00 * (1 - wx)[None, :, None] + f01 * wx[None, :, None]
-        bot = f10 * (1 - wx)[None, :, None] + f11 * wx[None, :, None]
-        return top * (1 - wy)[:, None, None] + bot * wy[:, None, None]
+        wxc = wx.astype(f00.dtype)
+        wyc = wy.astype(f00.dtype)
+        top = f00 * (1 - wxc)[None, :, None] + f01 * wxc[None, :, None]
+        bot = f10 * (1 - wxc)[None, :, None] + f11 * wxc[None, :, None]
+        return top * (1 - wyc)[:, None, None] + bot * wyc[:, None, None]
 
     crops = jax.vmap(crop_one)(roi_batch * H, y0, y1i, x0, x1i, ay, ax)  # (R,n,n,C)
     pooled = jax.lax.reduce_window(
@@ -193,11 +198,11 @@ def crop_pool_batched(
 
     def one(feat_b, rois_b):
         n = 2 * pool_size
-        x1 = rois_b[:, 2] * spatial_scale
-        y1 = rois_b[:, 3] * spatial_scale
-        x2 = rois_b[:, 4] * spatial_scale
-        y2 = rois_b[:, 5] * spatial_scale
-        t = (jnp.arange(n, dtype=feat.dtype) + 0.5) / n
+        x1 = (rois_b[:, 2] * spatial_scale).astype(jnp.float32)
+        y1 = (rois_b[:, 3] * spatial_scale).astype(jnp.float32)
+        x2 = (rois_b[:, 4] * spatial_scale).astype(jnp.float32)
+        y2 = (rois_b[:, 5] * spatial_scale).astype(jnp.float32)
+        t = (jnp.arange(n, dtype=jnp.float32) + 0.5) / n
         sx = x1[:, None] + t[None, :] * (x2 - x1)[:, None]
         sy = y1[:, None] + t[None, :] * (y2 - y1)[:, None]
         x0 = jnp.clip(jnp.floor(sx).astype(jnp.int32), 0, W - 1)
