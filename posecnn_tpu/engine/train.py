@@ -31,7 +31,27 @@ from posecnn_tpu.ops.losses import (
     smooth_l1_loss_vertex,
     sparse_softmax_cross_entropy,
 )
-from posecnn_tpu.parallel.mesh import DATA_AXIS, batch_sharding, make_mesh, replicated
+from posecnn_tpu.parallel.mesh import (
+    DATA_AXIS,
+    batch_sharding,
+    make_mesh,
+    param_sharding,
+    replicated,
+)
+
+
+def state_shardings(mesh: Mesh, state):
+    """Sharding tree for (params, opt_state, step): parameters (and their
+    momentum mirrors) follow `param_sharding` — replicated on a (N,1) mesh,
+    channel-sharded over the model axis for large kernels when model>1 (TP);
+    the step counter is replicated."""
+    params, opt_state, _ = state
+    rule = lambda leaf: param_sharding(mesh, leaf=leaf)
+    return (
+        jax.tree_util.tree_map(rule, params),
+        jax.tree_util.tree_map(rule, opt_state),
+        replicated(mesh),
+    )
 
 
 @dataclass(frozen=True)
@@ -175,10 +195,11 @@ def make_train_step(
 
     def jitted(state, batch, rng):
         shardings = batch_shardings(batch)
+        ssh = state_shardings(mesh, state)
         f = jax.jit(
             step_fn,
-            in_shardings=((repl, repl, repl), shardings, repl),
-            out_shardings=((repl, repl, repl), repl),
+            in_shardings=(ssh, shardings, repl),
+            out_shardings=(ssh, repl),
             donate_argnums=(0,) if donate else (),
         )
         return f(state, batch, rng)
@@ -229,29 +250,87 @@ class Solver:
             model_cfg, hp, self.mesh, self.points, self.symmetry, self.extents
         )
 
-    def train(self, data_iter, state, max_iters: int, log: Optional[Callable] = print):
-        import time
+    def resume(self, state, log: Optional[Callable] = print):
+        """Restore the latest snapshot from output_dir if one exists.
+
+        The reference has no crash recovery — a crash loses up to
+        SNAPSHOT_ITERS iterations and restarts require manual --ckpt plumbing
+        (SURVEY.md §5). Returns (state, start_iter).
+        """
+        from posecnn_tpu.core.checkpoint import latest_checkpoint, restore_checkpoint
+
+        if not self.output_dir:
+            return state, 0
+        path = latest_checkpoint(self.output_dir, prefix=self.snapshot_prefix)
+        if path is None:
+            return state, 0
+        state = restore_checkpoint(path, state)
+        start = int(state[2])
+        if log:
+            log(f"resumed from {path} at iteration {start}")
+        return state, start
+
+    def train(
+        self,
+        data_iter,
+        state,
+        max_iters: int,
+        log: Optional[Callable] = print,
+        start_iter: int = 0,
+        handle_signals: bool = True,
+    ):
+        """Iteration loop. With `handle_signals`, SIGTERM/SIGINT trigger a
+        final snapshot before returning (checkpoint-on-preemption), so
+        `resume()` restarts from the interrupted step rather than the last
+        periodic snapshot."""
+        import signal
 
         from posecnn_tpu.utils.timer import Timer
 
+        stop = {"flag": False}
+        old_handlers = {}
+        if handle_signals:
+
+            def _on_signal(signum, frame):
+                stop["flag"] = True
+
+            for sig in (signal.SIGTERM, signal.SIGINT):
+                try:
+                    old_handlers[sig] = signal.signal(sig, _on_signal)
+                except ValueError:  # not in main thread
+                    handle_signals = False
+                    old_handlers.clear()
+                    break
+
         timer = Timer()
         metrics = None
-        for it in range(max_iters):
-            batch = next(data_iter)
-            self.rng, sub = jax.random.split(self.rng)
-            timer.tic()
-            state, metrics = self.step_fn(state, batch, sub)
-            if (it + 1) % self.display == 0 and log is not None:
-                m = {k: float(v) for k, v in metrics.items()}
-                timer.toc(average=False)
-                log(
-                    f"iter {it + 1}/{max_iters} "
-                    + " ".join(f"{k}: {v:.4f}" for k, v in sorted(m.items()))
-                    + f" ({timer.diff:.3f}s/{self.display}it)"
-                )
+        it = start_iter
+        try:
+            for it in range(start_iter, max_iters):
+                batch = next(data_iter)
+                self.rng, sub = jax.random.split(self.rng)
                 timer.tic()
-            if self.output_dir and (it + 1) % self.snapshot_iters == 0:
-                self.snapshot(state, it + 1)
+                state, metrics = self.step_fn(state, batch, sub)
+                if (it + 1) % self.display == 0 and log is not None:
+                    m = {k: float(v) for k, v in metrics.items()}
+                    timer.toc(average=False)
+                    log(
+                        f"iter {it + 1}/{max_iters} "
+                        + " ".join(f"{k}: {v:.4f}" for k, v in sorted(m.items()))
+                        + f" ({timer.diff:.3f}s/{self.display}it)"
+                    )
+                    timer.tic()
+                if self.output_dir and (it + 1) % self.snapshot_iters == 0:
+                    self.snapshot(state, it + 1)
+                if stop["flag"]:
+                    if log:
+                        log(f"signal received: snapshotting at iteration {it + 1}")
+                    if self.output_dir:
+                        self.snapshot(state, it + 1)
+                    break
+        finally:
+            for sig, h in old_handlers.items():
+                signal.signal(sig, h)
         return state, metrics
 
     def snapshot(self, state, it: int):

@@ -64,8 +64,34 @@ def _vote_kernel(samples_ref, centers_ref, votes_ref, dsum_ref):
         dsum_ref[s, :] = jnp.sum(okf * d[None, :], axis=1)
 
 
-@functools.partial(jax.jit, static_argnames=("block", "interpret"))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
 def _votes_pallas(samples: jnp.ndarray, centers: jnp.ndarray, block: int, interpret: bool):
+    """Zero-gradient wrapper: Hough voting has no gradient in the reference
+    (hough_voting_gpu_op.cc:54-60) and pallas_call defines no JVP rule —
+    without this, reverse-mode linearization of the training graph fails
+    even though the outputs sit behind stop_gradient."""
+    return _votes_pallas_impl(samples, centers, block, interpret)
+
+
+def _votes_pallas_fwd(samples, centers, block, interpret):
+    shapes = (
+        jax.ShapeDtypeStruct(samples.shape, samples.dtype),
+        jax.ShapeDtypeStruct(centers.shape, centers.dtype),
+    )
+    return _votes_pallas_impl(samples, centers, block, interpret), shapes
+
+
+def _votes_pallas_bwd(block, interpret, shapes, g):
+    del block, interpret, g
+    s_shape, c_shape = shapes
+    return jnp.zeros(s_shape.shape, s_shape.dtype), jnp.zeros(c_shape.shape, c_shape.dtype)
+
+
+_votes_pallas.defvjp(_votes_pallas_fwd, _votes_pallas_bwd)
+
+
+@functools.partial(jax.jit, static_argnames=("block", "interpret"))
+def _votes_pallas_impl(samples: jnp.ndarray, centers: jnp.ndarray, block: int, interpret: bool):
     S, _, P = samples.shape
     ncpad = centers.shape[1]
     grid = (ncpad // block,)

@@ -90,3 +90,82 @@ def test_checkpoint_roundtrip(tmp_path):
     leaves2 = jax.tree_util.tree_leaves(restored[0])
     for a, b in zip(leaves1, leaves2):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_solver_resume_roundtrip(tmp_path):
+    """snapshot -> resume restores params and the iteration counter."""
+    import numpy as np
+
+    from posecnn_tpu.engine.train import Solver, TrainHParams, create_train_state
+    from posecnn_tpu.models.posecnn import PoseCNNConfig
+
+    C = 3
+    cfg = PoseCNNConfig(
+        num_classes=C, num_units=8, vertex_reg=False, pose_reg=False,
+        is_train=True, compute_dtype=jnp.float32, fc_dim=32,
+    )
+    hp = TrainHParams()
+    rng = np.random.RandomState(0)
+    solver = Solver(
+        cfg, hp, points=np.zeros((C, 8, 3), np.float32),
+        symmetry=np.zeros(C, np.float32), extents=0.1 + np.zeros((C, 3), np.float32),
+        output_dir=str(tmp_path), snapshot_iters=10**9, display=10**9,
+    )
+    state = create_train_state(cfg, hp, jax.random.PRNGKey(0))
+    solver.snapshot(state, it=7)
+    state2 = create_train_state(cfg, hp, jax.random.PRNGKey(1))
+    restored, start = solver.resume(state2, log=None)
+    assert start == 0 or start == int(restored[2])
+    p0 = jax.tree_util.tree_leaves(state[0])
+    p1 = jax.tree_util.tree_leaves(restored[0])
+    for a, b in zip(p0, p1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_train_step_tensor_parallel_mesh():
+    """The train step must compile and run on a (data=4, model=2) mesh with
+    fc6 channel-sharded over the model axis (TP via param_sharding)."""
+    import numpy as np
+
+    from posecnn_tpu.engine.train import (
+        TrainHParams, create_train_state, make_train_step, state_shardings,
+    )
+    from posecnn_tpu.models.posecnn import PoseCNNConfig
+    from posecnn_tpu.parallel.mesh import MODEL_AXIS, MeshSpec, make_mesh
+
+    C = 3
+    cfg = PoseCNNConfig(
+        num_classes=C, num_units=8, vertex_reg=True, pose_reg=True,
+        is_train=True, compute_dtype=jnp.float32, hough_class_slots=2,
+        hough_max_samples=32, hough_center_stride=4, hough_refine_window=8,
+        label_threshold=5, fc_dim=256,
+    )
+    hp = TrainHParams(stepsize=100)
+    mesh = make_mesh(MeshSpec(data=4, model=2))
+    ssh = state_shardings(mesh, create_train_state(cfg, hp, jax.random.PRNGKey(0)))
+    # fc6 kernel (25088x256) crosses the TP size threshold -> model-sharded
+    assert MODEL_AXIS in str(ssh[0]["fc6"]["weights"].spec)
+
+    rng = np.random.RandomState(0)
+    B, H, W, P = 4, 32, 32, 16
+    state = create_train_state(cfg, hp, jax.random.PRNGKey(0))
+    step = make_train_step(
+        cfg, hp, mesh,
+        jnp.asarray(rng.randn(C, P, 3).astype(np.float32) * 0.05),
+        jnp.zeros(C, jnp.float32),
+        jnp.asarray(0.1 + 0.1 * rng.rand(C, 3).astype(np.float32)),
+        donate=False,
+    )
+    meta = np.zeros((B, 48), np.float32)
+    meta[:, 0] = meta[:, 4] = 60.0
+    meta[:, 2], meta[:, 5] = W / 2.0, H / 2.0
+    batch = {
+        "data": jnp.asarray(rng.randn(B, H, W, 3).astype(np.float32)),
+        "gt_label_2d": jnp.asarray(rng.randint(0, C, size=(B, H, W)).astype(np.int32)),
+        "vertex_targets": jnp.asarray(rng.randn(B, H, W, 3 * C).astype(np.float32) * 0.1),
+        "vertex_weights": jnp.asarray((rng.rand(B, H, W, 3 * C) > 0.7).astype(np.float32)),
+        "meta_data": jnp.asarray(meta),
+        "poses": jnp.asarray(np.zeros((4, 13), np.float32)),
+    }
+    state, metrics = step(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss"]))

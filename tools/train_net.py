@@ -23,6 +23,10 @@ def parse_args():
     parser.add_argument("--imdb", dest="imdb_name", default="toy_train")
     parser.add_argument("--network", dest="network_name", default="vgg16_convs")
     parser.add_argument("--rand", action="store_true", help="randomize (do not fix seed)")
+    parser.add_argument(
+        "--resume", action="store_true",
+        help="resume from the latest snapshot in the output dir",
+    )
     parser.add_argument("--output", default=None, help="output dir override")
     return parser.parse_args()
 
@@ -116,7 +120,10 @@ def main():
         state = (load_tf1_checkpoint(args.pretrained_ckpt, params, log=print), opt_state, step)
 
     data_iter = prefetch(iter(layer), depth=cfg.TPU.PREFETCH)
-    solver.train(data_iter, state, args.max_iters)
+    start_iter = 0
+    if args.resume:
+        state, start_iter = solver.resume(state)
+    solver.train(data_iter, state, args.max_iters, start_iter=start_iter)
     print("done solving")
 
 
