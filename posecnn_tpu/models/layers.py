@@ -131,6 +131,19 @@ def _bilinear_1d_map(n_in: int, k: int, stride: int):
     return idx, wgt
 
 
+@functools.lru_cache(maxsize=64)
+def _bilinear_matrix(n_in: int, k: int, stride: int) -> np.ndarray:
+    """Dense (n_in*stride, n_in) 1-D interpolation matrix (2 taps per row)."""
+    idx, wgt = _bilinear_1d_map(n_in, k, stride)
+    n_out = n_in * stride
+    m = np.zeros((n_out, n_in), np.float32)
+    rows = np.arange(n_out)
+    # duplicated single-tap rows carry zero weight in slot 1: += is safe
+    np.add.at(m, (rows, idx[:, 0]), wgt[:, 0])
+    np.add.at(m, (rows, idx[:, 1]), wgt[:, 1])
+    return m
+
+
 def deconv(params, x: jnp.ndarray, stride: int, padding: str = "SAME") -> jnp.ndarray:
     """tf.nn.conv2d_transpose equivalent; kernel layout (k,k,c_o,c_i).
 
@@ -138,29 +151,22 @@ def deconv(params, x: jnp.ndarray, stride: int, padding: str = "SAME") -> jnp.nd
     channel-diagonal symmetric kernels (make_deconv_filter). A dense
     transpose conv would cost k^2*C^2 MACs/pixel (the 16x16/s8 upscore over
     64-128 channels is ~0.6-2.6 TFLOP/frame at 640x480 — more than the whole
-    VGG trunk); the diagonal structure lowers it to a depthwise
-    fractionally-strided conv at k^2*C MACs/pixel, a C-fold saving.
-    Numerical parity with tf.nn.conv2d_transpose(SAME) is covered by
-    tests/test_models.py.
+    VGG trunk). The 2-D bilinear kernel is the outer product of a 1-D kernel
+    with <=2 taps per output, so the transposed conv factorizes exactly into
+    two small dense matmuls against per-axis interpolation matrices — MXU
+    work with no gathers (XLA lowers batched axis-gathers pathologically,
+    and dilated depthwise convs worse). Numerical parity with
+    tf.nn.conv2d_transpose(SAME) is covered by tests/test_models.py.
     """
     w = params["weights"]  # (k, k, c_o, c_i)
     k = int(w.shape[0])
     if w.shape[2] == w.shape[3] and k <= 2 * stride:
-        # gather-lerp path: a channel-diagonal bilinear kernel of width
-        # k <= 2s contributes at most 2 input taps per output position per
-        # axis, so the transposed conv is exactly two 1-D lerps — ~4 reads +
-        # 4 MACs per output element, bandwidth-bound, instead of a k^2 C^2
-        # dense conv (XLA TPU also compiles dilated depthwise convs
-        # pathologically slowly: 300+s for the 16x16/s8 case)
         h_in, w_in = x.shape[1], x.shape[2]
-        iy, wy = _bilinear_1d_map(h_in, k, stride)
-        ix, wx = _bilinear_1d_map(w_in, k, stride)
-        y = x[:, iy[:, 0], :, :] * wy[:, 0][None, :, None, None] + (
-            x[:, iy[:, 1], :, :] * wy[:, 1][None, :, None, None]
-        )
-        y = y[:, :, ix[:, 0], :] * wx[:, 0][None, None, :, None] + (
-            y[:, :, ix[:, 1], :] * wx[:, 1][None, None, :, None]
-        )
+        prec = jax.lax.Precision.HIGHEST if x.dtype == jnp.float32 else None
+        mh = jnp.asarray(_bilinear_matrix(h_in, k, stride)).astype(x.dtype)
+        mw = jnp.asarray(_bilinear_matrix(w_in, k, stride)).astype(x.dtype)
+        y = jnp.einsum("oh,bhwc->bowc", mh, x, precision=prec)
+        y = jnp.einsum("ow,bhwc->bhoc", mw, y, precision=prec)
         return y
     return jax.lax.conv_transpose(
         x, w,

@@ -1,0 +1,71 @@
+"""Weight-converter tests: vgg16.npy dict and TF1 .ckpt -> param pytree."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from posecnn_tpu.core.checkpoint import load_tf1_checkpoint, load_vgg16_npy
+from posecnn_tpu.models.posecnn import PoseCNNConfig, init_posecnn_params
+
+
+def _small_cfg(input_format="COLOR"):
+    return PoseCNNConfig(
+        num_classes=3, num_units=8, input_format=input_format, vertex_reg=False,
+        pose_reg=False, is_train=False, compute_dtype=jnp.float32, fc_dim=16,
+    )
+
+
+def test_vgg16_npy_converter_merges_and_duplicates(tmp_path):
+    """npy dict entries land in the matching conv slots, including the `_p`
+    dual-tower duplication (Network.load, lib/networks/network.py:71-107)."""
+    cfg = _small_cfg("RGBD")
+    params = init_posecnn_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.RandomState(0)
+    w = rng.randn(3, 3, 3, 64).astype(np.float32)
+    b = rng.randn(64).astype(np.float32)
+    npy = {"conv1_1": {"weights": w, "biases": b}}
+    path = tmp_path / "vgg16.npy"
+    np.save(path, npy, allow_pickle=True)
+
+    merged = load_vgg16_npy(str(path), params, log=None)
+    np.testing.assert_allclose(np.asarray(merged["conv1_1"]["weights"]), w)
+    np.testing.assert_allclose(np.asarray(merged["conv1_1_p"]["weights"]), w)
+    np.testing.assert_allclose(np.asarray(merged["conv1_1_p"]["biases"]), b)
+    # untouched slots keep their init
+    np.testing.assert_allclose(
+        np.asarray(merged["conv2_1"]["weights"]), np.asarray(params["conv2_1"]["weights"])
+    )
+
+
+def test_tf1_checkpoint_converter_roundtrip(tmp_path):
+    """Write a real TF1 Saver checkpoint (variable_scope names) and read it
+    back; Momentum slots / global_step must be skipped (train.py:58-91)."""
+    tf = pytest.importorskip("tensorflow").compat.v1
+    tf.disable_eager_execution()
+
+    cfg = _small_cfg()
+    params = init_posecnn_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.RandomState(1)
+    w = rng.randn(3, 3, 3, 64).astype(np.float32)
+    b = rng.randn(64).astype(np.float32)
+
+    graph = tf.Graph()
+    with graph.as_default():
+        with tf.variable_scope("conv1_1"):
+            tf.get_variable("weights", initializer=w)
+            tf.get_variable("biases", initializer=b)
+            tf.get_variable("weights/Momentum", initializer=np.ones_like(w) * 9.0)
+        tf.get_variable("global_step", initializer=np.int64(123))
+        saver = tf.train.Saver()
+        with tf.Session() as sess:
+            sess.run(tf.global_variables_initializer())
+            ckpt = str(tmp_path / "model.ckpt")
+            saver.save(sess, ckpt)
+
+    merged = load_tf1_checkpoint(ckpt, params, log=None)
+    np.testing.assert_allclose(np.asarray(merged["conv1_1"]["weights"]), w)
+    np.testing.assert_allclose(np.asarray(merged["conv1_1"]["biases"]), b)
+    # momentum slot must NOT have been written anywhere
+    assert not np.allclose(np.asarray(merged["conv1_1"]["weights"]), 9.0)
