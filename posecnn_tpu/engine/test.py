@@ -138,11 +138,16 @@ def test_net_video(
     num_steps: int = 5,
     evaluator=None,
     max_videos: Optional[int] = None,
+    kfusion: bool = False,
+    kfusion_grid: int = 128,
     log=print,
 ):
     """Multi-frame evaluation: per video, reset the GRU state and stream
-    frames through the recurrent graph (lib/fcn/test.py:381-557 without
-    KinectFusion). Evaluates per-frame segmentation."""
+    frames through the recurrent graph (lib/fcn/test.py:381-557). With
+    `kfusion`, each video also runs the TSDF pipeline (feed_data ->
+    solve_pose -> fuse_depth -> feed_label per frame, extract_surface at the
+    end — the reference's KinectFusion hooks, kfusion.pyx:37-71); surfaces
+    are returned on the evaluator as `.surfaces`."""
     import numpy as np
 
     from posecnn_tpu.data.video_layer import group_by_video
@@ -160,24 +165,210 @@ def test_net_video(
         names = names[:max_videos]
     from posecnn_tpu.data.minibatch import build_meta_data
 
+    surfaces = []
     for vi, name in enumerate(names):
         state = None
+        kf = None
+        if kfusion:
+            from posecnn_tpu.engine.kfusion import KinectFusion
+
+            kf = KinectFusion(grid_size=kfusion_grid, num_classes=video_cfg.num_classes)
         for j, idx in enumerate(videos[name]):
             frame = dataset.load_frame(idx)
             data = jnp.asarray(frame.color[None].astype(np.float32) - means)
             if state is None:
                 state = init_video_state(1, data.shape[1], data.shape[2], video_cfg.num_units)
-            depth = jnp.asarray(
-                (frame.depth.astype(np.float32) / frame.factor_depth)[None]
+            depth_np = (
+                frame.depth.astype(np.float32) / frame.factor_depth
                 if frame.depth is not None
-                else np.zeros(frame.label.shape, np.float32)[None]
+                else np.zeros(frame.label.shape, np.float32)
             )
+            depth = jnp.asarray(depth_np[None])
             meta = jnp.asarray(build_meta_data(frame.intrinsic_matrix)[None])
             out, state = step(params, state, data, depth, meta)
+            label_pred = np.asarray(out["label_2d"])[0]
+            if kf is not None:
+                kf.feed_data(depth_np, frame.intrinsic_matrix)
+                if j > 0:
+                    kf.solve_pose()
+                if "prob" in out:  # log-softmax -> class probabilities
+                    kf.feed_label(np.exp(np.asarray(out["prob"])[0]))
+                else:
+                    C = video_cfg.num_classes
+                    kf.feed_label(np.eye(C, dtype=np.float32)[label_pred])
+                kf.fuse_depth()
             if evaluator is not None:
-                evaluator.add_frame(np.asarray(out["label_2d"])[0], frame.label)
+                evaluator.add_frame(label_pred, frame.label)
+        if kf is not None:
+            surfaces.append(kf.extract_surface())
         if log:
             log(f"video {vi + 1}/{len(names)} ({name}): {len(videos[name])} frames")
+    if evaluator is not None:
+        evaluator.surfaces = surfaces
     if evaluator is not None and log:
         log(str(evaluator.summary()))
     return evaluator
+
+
+# --------------------------------------------------------------- detection path
+
+
+class DetectionEvaluator:
+    """VOC-style AP@0.5 over label-derived GT boxes (the detection variant's
+    evaluation; reference test_net_detection, lib/fcn/test.py:1472-1638)."""
+
+    def __init__(self, classes):
+        self.classes = list(classes)
+        # per class: list of (score, matched) + gt count
+        self.records = {c: [] for c in range(1, len(self.classes))}
+        self.n_gt = {c: 0 for c in range(1, len(self.classes))}
+
+    @staticmethod
+    def _gt_boxes_from_label(label, num_classes):
+        boxes = {}
+        for c in range(1, num_classes):
+            ys, xs = np.nonzero(label == c)
+            if len(xs) > 10:
+                boxes[c] = np.array([xs.min(), ys.min(), xs.max(), ys.max()], np.float32)
+        return boxes
+
+    def add_frame(self, detections, gt_label):
+        """detections: (N, 10) rows [cls, x1, y1, x2, y2, score, quat4]."""
+        gt = self._gt_boxes_from_label(gt_label, len(self.classes))
+        for c, b in gt.items():
+            self.n_gt[c] += 1
+        used = set()
+        order = np.argsort(-detections[:, 5]) if len(detections) else []
+        for i in order:
+            c = int(detections[i, 0])
+            if c not in self.records:
+                continue
+            matched = False
+            if c in gt and c not in used:
+                bb, gb = detections[i, 1:5], gt[c]
+                ix = max(0, min(bb[2], gb[2]) - max(bb[0], gb[0]) + 1)
+                iy = max(0, min(bb[3], gb[3]) - max(bb[1], gb[1]) + 1)
+                inter = ix * iy
+                union = (
+                    (bb[2] - bb[0] + 1) * (bb[3] - bb[1] + 1)
+                    + (gb[2] - gb[0] + 1) * (gb[3] - gb[1] + 1)
+                    - inter
+                )
+                if inter / max(union, 1e-9) >= 0.5:
+                    matched = True
+                    used.add(c)
+            self.records[c].append((float(detections[i, 5]), matched))
+
+    def summary(self):
+        aps = {}
+        for c, recs in self.records.items():
+            n_gt = self.n_gt[c]
+            if n_gt == 0:
+                continue
+            recs = sorted(recs, key=lambda r: -r[0])
+            tp = np.cumsum([r[1] for r in recs]) if recs else np.zeros(0)
+            fp = np.cumsum([not r[1] for r in recs]) if recs else np.zeros(0)
+            recall = tp / n_gt if len(tp) else np.zeros(0)
+            precision = tp / np.maximum(tp + fp, 1e-9) if len(tp) else np.zeros(0)
+            ap = 0.0
+            for t in np.linspace(0, 1, 11):
+                p = precision[recall >= t].max() if np.any(recall >= t) else 0.0
+                ap += p / 11
+            aps[self.classes[c]] = float(ap)
+        mean_ap = float(np.mean(list(aps.values()))) if aps else 0.0
+        return {"ap_per_class": aps, "mAP@0.5": mean_ap}
+
+
+def make_det_inference_fn(det_cfg, pixel_means):
+    """Jitted detection inference: raw uint8 frame -> proposals + heads."""
+    from posecnn_tpu.models.detection import vgg16_det_forward
+
+    cfg = replace(det_cfg, is_train=False, keep_prob=1.0)
+    means = jnp.asarray(pixel_means, jnp.float32).reshape(1, 1, 1, 3)
+
+    @jax.jit
+    def infer(params, raw_bgr):
+        data = raw_bgr.astype(jnp.float32) - means
+        out = vgg16_det_forward(params, cfg, data)
+        return {
+            "rois": out["rois"],
+            "cls_prob": out["cls_prob"],
+            "bbox_pred": out["bbox_pred"],
+            "poses_tanh": out["poses_tanh"],
+        }
+
+    return infer
+
+
+def postprocess_det(
+    out,
+    num_classes: int,
+    im_shape,
+    nms_threshold: float = 0.3,
+    score_threshold: float = 0.05,
+    bbox_reg: bool = True,
+):
+    """Decode RCNN outputs to final detections (test.py:1472-1638 semantics:
+    bbox_transform_inv + clip + per-class NMS). Returns (N, 10) rows
+    [cls, x1, y1, x2, y2, score, qw, qx, qy, qz]."""
+    from posecnn_tpu.ops.bbox import bbox_transform_inv, clip_boxes
+
+    rois = np.asarray(out["rois"])
+    cls_prob = np.asarray(out["cls_prob"])
+    boxes = rois[:, 1:5]
+    if bbox_reg:
+        boxes_all = np.asarray(bbox_transform_inv(boxes, np.asarray(out["bbox_pred"])))
+        boxes_all = np.asarray(clip_boxes(boxes_all, im_shape))
+    else:
+        boxes_all = np.tile(boxes, (1, num_classes))
+    poses_tanh = np.asarray(out["poses_tanh"])
+
+    dets = []
+    for c in range(1, num_classes):
+        scores = cls_prob[:, c]
+        keep = scores > score_threshold
+        if not np.any(keep):
+            continue
+        cls_boxes = boxes_all[keep, 4 * c : 4 * c + 4]
+        cls_scores = scores[keep]
+        quats = poses_tanh[keep, 4 * c : 4 * c + 4]
+        norm = np.linalg.norm(quats, axis=1, keepdims=True)
+        quats = quats / np.maximum(norm, 1e-12)
+        d5 = np.concatenate([cls_boxes, cls_scores[:, None]], axis=1).astype(np.float32)
+        kept = nms_np(d5, nms_threshold)
+        for i in kept:
+            dets.append(
+                np.concatenate([[c], cls_boxes[i], [cls_scores[i]], quats[i]]).astype(np.float32)
+            )
+    return np.asarray(dets, np.float32).reshape(-1, 10)
+
+
+def test_net_detection(
+    params,
+    det_cfg,
+    dataset,
+    pixel_means,
+    evaluator=None,
+    max_frames: Optional[int] = None,
+    nms_threshold: float = 0.3,
+    log=print,
+):
+    """Detection-variant evaluation loop (test_net_detection,
+    lib/fcn/test.py:1472-1638)."""
+    infer = make_det_inference_fn(det_cfg, pixel_means)
+    n = dataset.num_images if max_frames is None else min(max_frames, dataset.num_images)
+    results = []
+    for i in range(n):
+        frame = dataset.load_frame(i)
+        out = jax.device_get(infer(params, jnp.asarray(frame.color[None])))
+        dets = postprocess_det(
+            out, det_cfg.num_classes, frame.color.shape[:2], nms_threshold=nms_threshold
+        )
+        results.append(dets)
+        if evaluator is not None:
+            evaluator.add_frame(dets, frame.label)
+        if log and (i + 1) % 50 == 0:
+            log(f"frame {i + 1}/{n}: {len(dets)} detections")
+    if evaluator is not None and log:
+        log(str(evaluator.summary()))
+    return results

@@ -73,3 +73,37 @@ def test_class_probability_fusion():
         assert (labels[left] == 1).mean() > 0.8
     if right.sum() > 5:
         assert (labels[right] == 2).mean() > 0.8
+
+
+def test_video_eval_with_kfusion():
+    """test_net_video with the TSDF pipeline enabled: runs end-to-end on the
+    toy dataset (treated as one video) and produces surfaces."""
+    import jax
+    import numpy as np
+
+    from posecnn_tpu.data.factory import get_imdb
+    from posecnn_tpu.data.imdb import PoseEvaluator
+    from posecnn_tpu.engine.test import test_net_video
+    from posecnn_tpu.models.video import VideoConfig, init_video_params
+
+    imdb = get_imdb("toy_val")
+    cfg = VideoConfig(
+        num_classes=imdb.num_classes, num_units=8, compute_dtype=jnp.float32
+    )
+    params = init_video_params(jax.random.PRNGKey(0), cfg)
+
+    class TwoFrames:
+        num_images = 2
+        image_index = ["vid/000001", "vid/000002"]
+
+        def load_frame(self, i):
+            return imdb.load_frame(i)
+
+    ev = PoseEvaluator(imdb.classes, imdb._extents, imdb._points, [])
+    test_net_video(
+        params, cfg, TwoFrames(), [102.98, 115.95, 122.77],
+        evaluator=ev, kfusion=True, kfusion_grid=32, log=None,
+    )
+    assert len(ev.surfaces) == 1
+    pts, labels = ev.surfaces[0]
+    assert pts.ndim == 2 and pts.shape[1] == 3

@@ -109,3 +109,40 @@ def test_detection_forward_shapes():
     assert out["bbox_pred"].shape == (8, 16)
     assert out["poses_pred"].shape == (8, 16)
     assert out["rpn_labels"].shape[0] == 4 * 4 * 9
+
+
+def test_test_net_detection_end_to_end():
+    """Detection eval loop: toy frames -> proposals -> NMS -> AP summary."""
+    import numpy as np
+
+    from posecnn_tpu.data.factory import get_imdb
+    from posecnn_tpu.engine.test import DetectionEvaluator, test_net_detection
+    from posecnn_tpu.models.detection import DetConfig, init_vgg16_det_params
+
+    imdb = get_imdb("toy_val")
+    cfg = DetConfig(
+        num_classes=imdb.num_classes, is_train=False, compute_dtype=jnp.float32,
+        rpn_pre_nms_top_n=64, rpn_post_nms_top_n=16, fc_dim=64,
+    )
+    params = init_vgg16_det_params(jax.random.PRNGKey(0), cfg)
+    ev = DetectionEvaluator(imdb.classes)
+    results = test_net_detection(
+        params, cfg, imdb, [102.98, 115.95, 122.77],
+        evaluator=ev, max_frames=2, log=None,
+    )
+    assert len(results) == 2
+    s = ev.summary()
+    assert "mAP@0.5" in s and 0.0 <= s["mAP@0.5"] <= 1.0
+
+
+def test_detection_evaluator_perfect_detections():
+    from posecnn_tpu.engine.test import DetectionEvaluator
+    import numpy as np
+
+    label = np.zeros((32, 32), np.int32)
+    label[4:12, 6:18] = 1
+    ev = DetectionEvaluator(["bg", "obj"])
+    det = np.array([[1, 6, 4, 17, 11, 0.9, 1, 0, 0, 0]], np.float32)
+    ev.add_frame(det, label)
+    s = ev.summary()
+    assert s["mAP@0.5"] > 0.9

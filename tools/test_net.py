@@ -38,6 +38,40 @@ def main():
     pprint.pprint(cfg)
 
     imdb = get_imdb(args.imdb_name)
+
+    if cfg.NETWORK == "VGG16DET" or args.network_name == "vgg16_det":
+        from posecnn_tpu.engine.test import DetectionEvaluator, test_net_detection
+        from posecnn_tpu.models.detection import DetConfig, init_vgg16_det_params
+
+        det_cfg = DetConfig(
+            num_classes=imdb.num_classes,
+            is_train=False,
+            rpn_nms_thresh=cfg.TEST.RPN_NMS_THRESH,
+            rpn_pre_nms_top_n=cfg.TEST.RPN_PRE_NMS_TOP_N,
+            rpn_post_nms_top_n=cfg.TEST.RPN_POST_NMS_TOP_N,
+        )
+        params = init_vgg16_det_params(jax.random.PRNGKey(cfg.RNG_SEED), det_cfg)
+        if args.model:
+            from posecnn_tpu.core.checkpoint import restore_checkpoint
+
+            params = restore_checkpoint(args.model, params)
+        evaluator = DetectionEvaluator(imdb.classes)
+        test_net_detection(
+            params, det_cfg, imdb, cfg.pixel_means(),
+            evaluator=evaluator, max_frames=args.max_frames,
+            nms_threshold=cfg.TEST.NMS,
+        )
+        summary = evaluator.summary()
+        out_dir = get_output_dir(imdb.name, "vgg16_det")
+        import json
+        import os
+
+        os.makedirs(out_dir, exist_ok=True)
+        with open(os.path.join(out_dir, "eval_summary.json"), "w") as f:
+            json.dump(summary, f, indent=2)
+        print(json.dumps(summary, indent=2))
+        return
+
     model_cfg = PoseCNNConfig(
         num_classes=imdb.num_classes,
         num_units=cfg.TRAIN.NUM_UNITS,
