@@ -193,7 +193,15 @@ def make_train_step(
                 out[k] = repl
         return out
 
+    # on a single-device mesh, explicit NamedShardings are pure overhead —
+    # on tunneled device platforms they force a host round-trip of the full
+    # 1GB state every step (measured 3.5 s/iter vs 66 ms with plain jit)
+    multi_device = mesh.devices.size > 1
+
     def jitted(state, batch, rng):
+        if not multi_device:
+            f = jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+            return f(state, batch, rng)
         shardings = batch_shardings(batch)
         ssh = state_shardings(mesh, state)
         f = jax.jit(
@@ -375,8 +383,12 @@ def make_video_train_step(video_cfg, hp: TrainHParams, mesh: Mesh, donate: bool 
 
     repl = replicated(mesh)
     bsh = NamedSharding(mesh, P(None, DATA_AXIS))  # (T, B, ...) shard over B
+    multi_device = mesh.devices.size > 1  # see make_train_step
 
     def jitted(state, batch):
+        if not multi_device:
+            f = jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+            return f(state, batch)
         shardings = {k: bsh for k in batch}
         f = jax.jit(
             step_fn,
