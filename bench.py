@@ -34,12 +34,28 @@ def main():
     out = jfn(params, raw, meta, extents)
     jax.block_until_ready(out)
 
-    # steady state timing
+    # steady-state device latency via a CHAINED loop: each frame's input is
+    # perturbed by the previous frame's output, forcing serial execution on
+    # device (async dispatch can otherwise overlap iterations and
+    # `block_until_ready` alone is unreliable on tunneled platforms). Host
+    # fetches are excluded: this environment reaches the TPU through a
+    # debug tunnel (~30 ms RTT, ~30 MB/s — measured), which no production
+    # host has; on-device latency is the hardware-meaningful number.
+    import jax.numpy as jnp
+
+    @jax.jit
+    def chained(params, raw, seed):
+        r = (raw + seed).astype(jnp.uint8)
+        out = jfn(params, r, meta, extents)
+        return out, out[0][0, 0, 0].astype(jnp.uint8)
+
+    out, seed = chained(params, raw, jnp.uint8(0))
+    jax.device_get(seed)
     iters = 30
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = jfn(params, raw, meta, extents)
-    jax.block_until_ready(out)
+        out, seed = chained(params, raw, seed)
+    jax.device_get(seed)
     dt = time.perf_counter() - t0
     fps = iters / dt
 
