@@ -344,6 +344,17 @@ add(
     ),
 )
 
+add(
+    "lov_syn_color_2d",
+    yml(
+        "lov_syn", "COLOR",
+        base_train(22, VERTEX_REG_2D=True, POSE_REG=True,
+                   SNAPSHOT_ITERS=1000,
+                   SNAPSHOT_PREFIX="vgg16_fcn_color_lov_syn_2d_pose"),
+        base_test(22, VERTEX_REG_2D=True, POSE_REG=True),
+    ),
+)
+
 # toy: dataset-free smoke config (kept in sync with tests)
 add(
     "toy_pose",
@@ -434,6 +445,7 @@ def script_pairs():
                 "shapenet_single_train", "shapenet_single_val", 40000))
     out.append(("shapenet_single_color_gan", "shapenet_single_single_color_gan",
                 "shapenet_single_train", "shapenet_single_val", 40000))
+    out.append(("lov_syn_color_2d", "lov_syn_color_2d", "lov_syn_train", "lov_syn_val", 20000))
     out.append(("sym", "sym", "sym_train", "sym_val", 20000))
     out.append(("yumi_color_2d", "yumi_color_2d", "yumi_train", "yumi_val", 40000))
     out.append(("toy_pose", "toy_pose", "toy_train", "toy_val", 100))

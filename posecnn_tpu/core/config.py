@@ -164,6 +164,10 @@ class TPUConfig:
     HOUGH_CENTER_STRIDE: int = 4
     # number of active-class slots processed by hough voting
     HOUGH_CLASS_SLOTS: int = 8
+    # build vertex targets + mean subtraction inside the train step's jit
+    # graph (host ships uint8 frames + a small GT table instead of the
+    # 162 MB/batch float target blob) — see ops/vertex_targets.py
+    DEVICE_TARGETS: bool = True
     # point cap for the ADD/ADD-S loss (reference uses the min point count
     # over classes, lov.py:141-158)
     ADD_NUM_POINTS: int = 1024

@@ -35,6 +35,15 @@ def _install_defaults():
         for split in ("train", "test"):
             register(f"linemod_{cls}_{split}", lambda c=cls, s=split: linemod(c, s))
 
+    def _lov_syn(split):
+        from posecnn_tpu.data.synthetic import SyntheticDataset
+
+        n = 2000 if split == "train" else 64
+        return SyntheticDataset(lov("train"), split=split, num_images=n)
+
+    for split in ("train", "val"):
+        register(f"lov_syn_{split}", lambda s=split: _lov_syn(s))
+
     from posecnn_tpu.data import variants
 
     for split in ("train", "val", "trainval", "keyframe"):

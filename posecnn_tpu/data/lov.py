@@ -63,7 +63,14 @@ class lov(imdb):
 
     def _get_default_path(self) -> str:
         root = os.environ.get("POSECNN_DATA", os.path.join(os.path.dirname(__file__), "..", "..", "data"))
-        return os.path.join(root, "LOV")
+        path = os.path.join(root, "LOV")
+        if not os.path.exists(os.path.join(path, "classes.txt")):
+            # fall back to a read-only reference checkout (models/extents/splits
+            # only — enough for metadata + synthetic-only training)
+            alt = "/root/reference/data/LOV"
+            if os.path.exists(os.path.join(alt, "classes.txt")):
+                return alt
+        return path
 
     def _load_image_set_index(self) -> List[str]:
         image_set_file = os.path.join(self._lov_path, self._image_set + ".txt")

@@ -57,6 +57,11 @@ class MinibatchConfig:
     max_gt: int = 24
     scale: float = 1.0
     is_symmetric: bool = True
+    # TPU fast path: ship uint8 frames + a small (G,4) GT-center table and
+    # build the mean-subtracted input and the (B,H,W,3C) vertex targets
+    # inside the train step's jit graph (ops/vertex_targets.py). This host
+    # otherwise spends seconds per batch on the 162 MB target blob.
+    device_targets: bool = False
 
 
 def generate_vertex_targets(
@@ -151,7 +156,7 @@ def get_minibatch(
     """Assemble the device batch dict with fixed shapes."""
     rng = rng or np.random.RandomState()
     C = mcfg.num_classes
-    ims, labels, metas, vtargets, vweights = [], [], [], [], []
+    ims, labels, metas, vtargets, vweights, center_rows = [], [], [], [], [], []
     pose_blob = np.zeros((0, 13), dtype=np.float32)
 
     for i, fr in enumerate(frames):
@@ -164,22 +169,35 @@ def get_minibatch(
             im = chromatic_transform(im, rng=rng)
         if mcfg.add_noise:
             im = add_noise(im, rng=rng)
-        im = im.astype(np.float32) - mcfg.pixel_means
-        ims.append(im)
+        if mcfg.device_targets:
+            ims.append(np.ascontiguousarray(im[..., :3]).astype(np.uint8))
+        else:
+            im = im.astype(np.float32) - mcfg.pixel_means
+            ims.append(im)
         metas.append(build_meta_data(fr.intrinsic_matrix, mcfg.scale))
 
         if fr.is_adaptation:
             labels.append(-1 * np.ones_like(label))
-            vtargets.append(np.zeros(label.shape + (3 * C,), dtype=np.float32))
-            vweights.append(np.zeros(label.shape + (3 * C,), dtype=np.float32))
+            center_rows.append(np.zeros((0, 4), np.float32))
+            if not mcfg.device_targets:
+                vtargets.append(np.zeros(label.shape + (3 * C,), dtype=np.float32))
+                vweights.append(np.zeros(label.shape + (3 * C,), dtype=np.float32))
             continue
         labels.append(label)
         if mcfg.vertex_reg:
-            t, w = generate_vertex_targets(
-                label, fr.cls_indexes, fr.center, fr.poses, C, mcfg.vertex_w_inside
-            )
-            vtargets.append(t)
-            vweights.append(w)
+            if mcfg.device_targets:
+                n_inst = fr.poses.shape[2]
+                rows = np.zeros((n_inst, 4), np.float32)
+                rows[:, 0] = fr.cls_indexes[:n_inst]
+                rows[:, 1:3] = fr.center[:n_inst]
+                rows[:, 3] = fr.poses[2, 3, :n_inst]
+                center_rows.append(rows)
+            else:
+                t, w = generate_vertex_targets(
+                    label, fr.cls_indexes, fr.center, fr.poses, C, mcfg.vertex_w_inside
+                )
+                vtargets.append(t)
+                vweights.append(w)
         pose_blob = np.concatenate([pose_blob, pose_rows(i, fr)], axis=0)
 
     # pad GT rows to the static cap
@@ -188,14 +206,26 @@ def get_minibatch(
     gt[:n] = pose_blob[:n]
 
     batch = {
-        "data": np.stack(ims).astype(np.float32),
+        "data": np.stack(ims) if mcfg.device_targets else np.stack(ims).astype(np.float32),
         "gt_label_2d": np.stack(labels).astype(np.int32),
         "meta_data": np.stack(metas).astype(np.float32),
         "poses": gt,
     }
     if mcfg.vertex_reg:
-        batch["vertex_targets"] = np.stack(vtargets)
-        batch["vertex_weights"] = np.stack(vweights)
+        if mcfg.device_targets:
+            G = mcfg.max_gt
+            gc = np.zeros((len(frames), G, 4), np.float32)
+            for i, rows in enumerate(center_rows):
+                k = min(len(rows), G)
+                gc[i, :k] = rows[:k]
+            batch["gt_centers"] = gc
+        else:
+            batch["vertex_targets"] = np.stack(vtargets)
+            batch["vertex_weights"] = np.stack(vweights)
+    if mcfg.device_targets:
+        # static blobs are NOT replicated into every batch on the fast path —
+        # the train step closes over points/symmetry/extents directly
+        return batch
     batch["points"] = rescale_points(points, extents, symmetry, mcfg.is_symmetric)
     batch["symmetry"] = symmetry if mcfg.is_symmetric else np.zeros_like(symmetry)
     batch["extents"] = extents

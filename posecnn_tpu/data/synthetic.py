@@ -193,3 +193,36 @@ class OfflineSynReader:
             factor_depth=float(np.asarray(meta["factor_depth"]).flatten()[0]),
             is_synthetic=True,
         )
+
+
+class SyntheticDataset:
+    """On-the-fly synthetic dataset over a real metadata-bearing imdb.
+
+    The reference's SYN_ONLINE path renders synthetic training frames live
+    from the YCB models (tools/train_net.py:155-258 render thread); here the
+    dataset itself is synthetic: frame i is rendered deterministically from
+    seed `seed0 + i` using the base imdb's model point clouds, extents and
+    intrinsics — usable anywhere a real imdb is (training AND evaluation),
+    which also gives the repo a full YCB-workflow e2e without the 265 GB
+    YCB-Video download.
+    """
+
+    def __init__(self, base, split: str = "train", num_images: int = 2000,
+                 width: int = 640, height: int = 480, max_objects: int = 5):
+        self.base = base
+        self.name = f"{base.name}_syn_{split}" if hasattr(base, "name") else f"syn_{split}"
+        self.num_images = num_images
+        self._seed0 = {"train": 0, "val": 10_000_000, "keyframe": 10_000_000}.get(split, 20_000_000)
+        self.image_index = [f"syn/{i:06d}" for i in range(num_images)]
+        self.synth = build_ycb_synthesizer(base, width, height, max_objects=max_objects)
+        # metadata proxies
+        self.classes = base.classes
+        self.num_classes = base.num_classes
+        self._extents = base._extents
+        self._points = base._points
+        self._points_all = base._points_all
+        self._symmetry = base._symmetry
+
+    def load_frame(self, i: int) -> Frame:
+        rng = np.random.RandomState(self._seed0 + i)
+        return self.synth.render_scene(rng)

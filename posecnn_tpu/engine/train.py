@@ -65,6 +65,9 @@ class TrainHParams:
     pose_w: float = 1.0
     adapt_weight: float = 0.1
     margin: float = 0.01  # ADD loss hinge (vgg16_convs.py:194)
+    vertex_w_inside: float = 10.0  # fg weight in vertex targets (minibatch.py:577)
+    # BGR means for on-device preprocessing of uint8 batches (config.py:242)
+    pixel_means: Tuple[float, float, float] = (102.9801, 115.9465, 122.7717)
 
 
 def lr_schedule(hp: TrainHParams):
@@ -104,10 +107,15 @@ def compute_losses(
     extents: jnp.ndarray,
     rng: jax.Array,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    data = batch["data"]
+    if data.dtype == jnp.uint8:
+        # device-side preprocessing: host ships raw uint8 BGR frames
+        means = jnp.asarray(hp.pixel_means, jnp.float32).reshape(1, 1, 1, 3)
+        data = data.astype(jnp.float32) - means
     out = posecnn_forward(
         params,
         model_cfg,
-        batch["data"],
+        data,
         extents,
         batch["meta_data"],
         gt_poses=batch.get("poses"),
@@ -124,8 +132,18 @@ def compute_losses(
     loss = loss + loss_cls
 
     if model_cfg.vertex_reg:
+        if "vertex_targets" in batch:
+            vtargets, vweights = batch["vertex_targets"], batch["vertex_weights"]
+        else:
+            # in-graph target generation from the small GT-center table
+            from posecnn_tpu.ops.vertex_targets import vertex_targets_device
+
+            vtargets, vweights = vertex_targets_device(
+                batch["gt_label_2d"], batch["gt_centers"],
+                model_cfg.num_classes, hp.vertex_w_inside,
+            )
         loss_vertex = hp.vertex_w * smooth_l1_loss_vertex(
-            out["vertex_pred"], batch["vertex_targets"], batch["vertex_weights"]
+            out["vertex_pred"], vtargets, vweights
         )
         losses["loss_vertex"] = loss_vertex
         loss = loss + loss_vertex
@@ -187,7 +205,7 @@ def make_train_step(
         out = {}
         for k, v in batch.items():
             # per-image arrays shard over data; global blobs replicate
-            if k in ("data", "data_p", "gt_label_2d", "vertex_targets", "vertex_weights", "meta_data"):
+            if k in ("data", "data_p", "gt_label_2d", "vertex_targets", "vertex_weights", "meta_data", "gt_centers"):
                 out[k] = bsh
             else:
                 out[k] = repl
@@ -336,6 +354,10 @@ class Solver:
                     if self.output_dir:
                         self.snapshot(state, it + 1)
                     break
+            else:
+                # final snapshot when the run didn't end on a periodic one
+                if self.output_dir and max_iters % self.snapshot_iters != 0:
+                    self.snapshot(state, max_iters)
         finally:
             for sig, h in old_handlers.items():
                 signal.signal(sig, h)

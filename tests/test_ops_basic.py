@@ -199,3 +199,47 @@ def test_smooth_l1_and_ce():
     ce = float(loss_cross_entropy_single_frame(scores, labels))
     ref_ce = float((-np.asarray(labels) * np.asarray(scores)).sum(-1).sum() / (np.asarray(labels).sum() + 1e-10))
     np.testing.assert_allclose(ce, ref_ce, rtol=1e-5)
+
+
+def test_vertex_targets_device_matches_numpy():
+    """In-graph target generation == the host generator (minibatch.py:577-602)."""
+    import numpy as np
+
+    from posecnn_tpu.data.minibatch import generate_vertex_targets
+    from posecnn_tpu.ops.vertex_targets import vertex_targets_device
+
+    rng = np.random.RandomState(0)
+    B, H, W, C, G = 2, 24, 32, 5, 6
+    labels, gcs, refs_t, refs_w = [], [], [], []
+    for b in range(B):
+        label = rng.randint(0, C, size=(H, W)).astype(np.int32)
+        n_inst = 3
+        cls_indexes = np.array([1, 3, 4], np.float32)
+        centers = rng.uniform(0, 30, (n_inst, 2)).astype(np.float32)
+        poses = np.zeros((3, 4, n_inst), np.float32)
+        poses[2, 3, :] = rng.uniform(0.5, 2.0, n_inst)
+        t, w = generate_vertex_targets(label, cls_indexes, centers, poses, C, 10.0)
+        gc = np.zeros((G, 4), np.float32)
+        gc[:n_inst, 0] = cls_indexes
+        gc[:n_inst, 1:3] = centers
+        gc[:n_inst, 3] = poses[2, 3, :]
+        labels.append(label); gcs.append(gc); refs_t.append(t); refs_w.append(w)
+
+    td, wd = vertex_targets_device(
+        jnp.asarray(np.stack(labels)), jnp.asarray(np.stack(gcs)), C, 10.0
+    )
+    # class 2 appears in labels but not in GT -> numpy leaves zeros; device
+    # masks via the found bit. Compare everything.
+    np.testing.assert_allclose(np.asarray(td), np.stack(refs_t), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(wd), np.stack(refs_w), atol=1e-6)
+
+
+def test_vertex_targets_device_adaptation_frame():
+    import numpy as np
+
+    from posecnn_tpu.ops.vertex_targets import vertex_targets_device
+
+    label = -1 * np.ones((1, 8, 8), np.int32)
+    gc = np.zeros((1, 4, 4), np.float32)
+    t, w = vertex_targets_device(jnp.asarray(label), jnp.asarray(gc), 3, 10.0)
+    assert float(jnp.abs(t).sum()) == 0.0 and float(w.sum()) == 0.0

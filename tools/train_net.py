@@ -85,6 +85,7 @@ def main():
         vertex_reg=model_cfg.vertex_reg,
         vertex_w_inside=cfg.TRAIN.VERTEX_W_INSIDE,
         max_gt=cfg.TPU.MAX_GT,
+        device_targets=cfg.TPU.DEVICE_TARGETS,
     )
     output_dir = args.output or get_output_dir(imdb.name, args.network_name)
     print("Output will be saved to", output_dir)
