@@ -164,6 +164,17 @@ class TPUConfig:
     HOUGH_CENTER_STRIDE: int = 4
     # number of active-class slots processed by hough voting
     HOUGH_CLASS_SLOTS: int = 8
+    # class-pixel sampler inside hough voting: "exact" = reference row-major
+    # compaction; "approx" = approx_max_k (TPU-fast, same detections)
+    HOUGH_SAMPLER: str = "approx"
+    # candidate-pixel grid stride (1 = reference semantics)
+    HOUGH_PIXEL_STRIDE: int = 3
+    # per-class pixel skip within the candidate set (reference default 10;
+    # 1 recommended with HOUGH_PIXEL_STRIDE > 1)
+    HOUGH_SKIP_PIXELS: int = 1
+    # bilinear crop_pool (crop_pool_new, network.py:790-831) instead of the
+    # exact roi_pool: exact max pooling costs O(R*H*W*C) on TPU
+    USE_CROP_POOL: bool = True
     # build vertex targets + mean subtraction inside the train step's jit
     # graph (host ships uint8 frames + a small GT table instead of the
     # 162 MB/batch float target blob) — see ops/vertex_targets.py

@@ -137,3 +137,16 @@ def prefetch(source: Iterator[dict], depth: int = 4, transform: Optional[Callabl
             yield item
     finally:
         stop.set()
+
+
+class GtSingleDataLayer(GtSynthesizeLayer):
+    """Single-frame layer without synthesis/adaptation streams — the
+    reference's `lib/gt_single_data_layer/layer.py` (it differs from the
+    synthesize layer only in what it mixes in; the GAN-label path consumes
+    the same blobs). Kept as a named class for API parity."""
+
+    def __init__(self, dataset, mcfg, ims_per_batch: int = 2, seed: int = 3):
+        super().__init__(
+            dataset, mcfg, ims_per_batch=ims_per_batch,
+            synthesize=False, adapt=False, seed=seed,
+        )

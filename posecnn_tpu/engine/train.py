@@ -275,6 +275,9 @@ class Solver:
         self.step_fn = make_train_step(
             model_cfg, hp, self.mesh, self.points, self.symmetry, self.extents
         )
+        from posecnn_tpu.core.metrics import MetricsLogger
+
+        self.metrics_logger = MetricsLogger(output_dir) if output_dir else None
 
     def resume(self, state, log: Optional[Callable] = print):
         """Restore the latest snapshot from output_dir if one exists.
@@ -331,6 +334,7 @@ class Solver:
         timer = Timer()
         metrics = None
         it = start_iter
+        last_snap = -1
         try:
             for it in range(start_iter, max_iters):
                 batch = next(data_iter)
@@ -345,18 +349,22 @@ class Solver:
                         + " ".join(f"{k}: {v:.4f}" for k, v in sorted(m.items()))
                         + f" ({timer.diff:.3f}s/{self.display}it)"
                     )
+                    if self.metrics_logger is not None:
+                        m["sec_per_iter"] = timer.diff / self.display
+                        self.metrics_logger.log(it + 1, m)
                     timer.tic()
                 if self.output_dir and (it + 1) % self.snapshot_iters == 0:
                     self.snapshot(state, it + 1)
+                    last_snap = it + 1
                 if stop["flag"]:
                     if log:
                         log(f"signal received: snapshotting at iteration {it + 1}")
-                    if self.output_dir:
+                    if self.output_dir and last_snap != it + 1:
                         self.snapshot(state, it + 1)
                     break
             else:
                 # final snapshot when the run didn't end on a periodic one
-                if self.output_dir and max_iters % self.snapshot_iters != 0:
+                if self.output_dir and last_snap != max_iters:
                     self.snapshot(state, max_iters)
         finally:
             for sig, h in old_handlers.items():

@@ -66,6 +66,10 @@ def main():
         hough_class_slots=cfg.TPU.HOUGH_CLASS_SLOTS,
         hough_max_samples=cfg.TPU.HOUGH_MAX_SAMPLES,
         hough_center_stride=cfg.TPU.HOUGH_CENTER_STRIDE,
+        hough_sampler=cfg.TPU.HOUGH_SAMPLER,
+        hough_pixel_stride=cfg.TPU.HOUGH_PIXEL_STRIDE,
+        skip_pixels=cfg.TPU.HOUGH_SKIP_PIXELS,
+        use_crop_pool=cfg.TPU.USE_CROP_POOL,
     )
     hp = TrainHParams(
         learning_rate=cfg.TRAIN.LEARNING_RATE,
