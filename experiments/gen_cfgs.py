@@ -352,7 +352,7 @@ add(
                    SNAPSHOT_ITERS=2000,
                    SNAPSHOT_PREFIX="vgg16_fcn_color_lov_syn_2d_pose"),
         base_test(22, VERTEX_REG_2D=True, POSE_REG=True),
-    ),
+    ) + "TPU:\n  CHECKPOINT_OPT_STATE: False\n",
 )
 
 # toy: dataset-free smoke config (kept in sync with tests)

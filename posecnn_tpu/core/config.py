@@ -175,6 +175,9 @@ class TPUConfig:
     # bilinear crop_pool (crop_pool_new, network.py:790-831) instead of the
     # exact roi_pool: exact max pooling costs O(R*H*W*C) on TPU
     USE_CROP_POOL: bool = True
+    # include optimizer state in snapshots (False = light params-only
+    # checkpoints, 4x less device->host traffic; resume reinits momentum)
+    CHECKPOINT_OPT_STATE: bool = True
     # build vertex targets + mean subtraction inside the train step's jit
     # graph (host ships uint8 frames + a small GT table instead of the
     # 162 MB/batch float target blob) — see ops/vertex_targets.py

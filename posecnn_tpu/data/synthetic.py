@@ -208,13 +208,18 @@ class SyntheticDataset:
     """
 
     def __init__(self, base, split: str = "train", num_images: int = 2000,
-                 width: int = 640, height: int = 480, max_objects: int = 5):
+                 width: int = 640, height: int = 480, max_objects: int = 5,
+                 cache: bool = True):
         self.base = base
         self.name = f"{base.name}_syn_{split}" if hasattr(base, "name") else f"syn_{split}"
         self.num_images = num_images
         self._seed0 = {"train": 0, "val": 10_000_000, "keyframe": 10_000_000}.get(split, 20_000_000)
         self.image_index = [f"syn/{i:06d}" for i in range(num_images)]
         self.synth = build_ycb_synthesizer(base, width, height, max_objects=max_objects)
+        # frames are deterministic in i, so they render once and replay from
+        # RAM on later epochs (~2 MB/frame; augmentation stays per-iteration
+        # random in the minibatch builder)
+        self._cache: dict = {} if cache else None
         # metadata proxies
         self.classes = base.classes
         self.num_classes = base.num_classes
@@ -224,5 +229,10 @@ class SyntheticDataset:
         self._symmetry = base._symmetry
 
     def load_frame(self, i: int) -> Frame:
+        if self._cache is not None and i in self._cache:
+            return self._cache[i]
         rng = np.random.RandomState(self._seed0 + i)
-        return self.synth.render_scene(rng)
+        frame = self.synth.render_scene(rng)
+        if self._cache is not None:
+            self._cache[i] = frame
+        return frame

@@ -260,6 +260,7 @@ class Solver:
         snapshot_prefix: str = "posecnn",
         display: int = 20,
         seed: int = 3,
+        snapshot_opt_state: bool = True,
     ):
         self.model_cfg = model_cfg
         self.hp = hp
@@ -270,6 +271,7 @@ class Solver:
         self.output_dir = output_dir
         self.snapshot_iters = snapshot_iters
         self.snapshot_prefix = snapshot_prefix
+        self.snapshot_opt_state = snapshot_opt_state
         self.display = display
         self.rng = jax.random.PRNGKey(seed)
         self.step_fn = make_train_step(
@@ -374,7 +376,10 @@ class Solver:
     def snapshot(self, state, it: int):
         from posecnn_tpu.core.checkpoint import save_checkpoint
 
-        save_checkpoint(self.output_dir, state, step=it, prefix=self.snapshot_prefix)
+        save_checkpoint(
+            self.output_dir, state, step=it, prefix=self.snapshot_prefix,
+            include_opt_state=self.snapshot_opt_state,
+        )
 
 
 def make_video_train_step(video_cfg, hp: TrainHParams, mesh: Mesh, donate: bool = False):

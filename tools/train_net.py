@@ -111,6 +111,7 @@ def main():
         snapshot_prefix=cfg.TRAIN.SNAPSHOT_PREFIX,
         display=cfg.TRAIN.DISPLAY,
         seed=cfg.RNG_SEED,
+        snapshot_opt_state=cfg.TPU.CHECKPOINT_OPT_STATE,
     )
     state = create_train_state(model_cfg, hp, jax.random.PRNGKey(cfg.RNG_SEED))
     if args.pretrained_model:
