@@ -28,6 +28,7 @@ from posecnn_tpu.models.posecnn import PoseCNNConfig, init_posecnn_params, posec
 from posecnn_tpu.ops.add_loss import average_distance_loss
 from posecnn_tpu.ops.losses import (
     loss_cross_entropy_single_frame,
+    smooth_l1_loss,
     smooth_l1_loss_vertex,
     sparse_softmax_cross_entropy,
 )
@@ -434,3 +435,115 @@ def make_video_train_step(video_cfg, hp: TrainHParams, mesh: Mesh, donate: bool 
         return f(state, batch)
 
     return jitted
+
+
+# ------------------------------------------------------------- detection path
+
+
+def det_batch_from_frame(frame, max_gt: int = 24):
+    """Build the single-image detection batch (data, gt_boxes, poses) the
+    reference assembles in gt_synthesize_layer for vgg16_det. GT boxes come
+    from per-class label extents (the synthetic/real frames carry masks)."""
+    import numpy as np
+
+    from posecnn_tpu.data.minibatch import pose_rows
+
+    label = frame.label
+    boxes = np.zeros((max_gt, 5), np.float32)
+    k = 0
+    for c in np.unique(label):
+        if c <= 0 or k >= max_gt:
+            continue
+        ys, xs = np.nonzero(label == c)
+        if len(xs) < 10:
+            continue
+        boxes[k] = [xs.min(), ys.min(), xs.max(), ys.max(), c]
+        k += 1
+    poses = np.zeros((max_gt, 13), np.float32)
+    rows = pose_rows(0, frame)
+    poses[: min(len(rows), max_gt)] = rows[:max_gt]
+    return {
+        "data": frame.color[None].astype(np.uint8),
+        "gt_boxes": boxes,
+        "poses": poses,
+    }
+
+
+def make_det_train_step(det_cfg, hp: TrainHParams, points, symmetry, donate: bool = False):
+    """Jitted Faster-R-CNN-style train step (train_net_det,
+    lib/fcn/train.py:592-652): RPN cls/bbox + RCNN cls/bbox + ADD pose loss.
+
+    batch: data (1,H,W,3) uint8/f32, gt_boxes (G,5) [x1,y1,x2,y2,cls]
+    zero-padded, poses (G,13).
+    """
+    from posecnn_tpu.models.detection import vgg16_det_forward
+
+    tx = make_optimizer(hp)
+    sched = lr_schedule(hp)
+
+    def losses_fn(params, batch, rng):
+        data = batch["data"]
+        if data.dtype == jnp.uint8:
+            means = jnp.asarray(hp.pixel_means, jnp.float32).reshape(1, 1, 1, 3)
+            data = data.astype(jnp.float32) - means
+        out = vgg16_det_forward(
+            params, det_cfg, data, gt_boxes=batch["gt_boxes"],
+            gt_poses=batch["poses"], rng=rng,
+        )
+        losses = {}
+        # RPN class loss over labels != -1 (train.py:598-603)
+        logits = out["rpn_cls_score"].reshape(-1, 2)
+        rpn_labels = out["rpn_labels"].reshape(-1)
+        keep = rpn_labels != -1
+        lab_safe = jnp.where(keep, rpn_labels, 0)
+        ce = -jax.nn.log_softmax(logits, axis=-1)[jnp.arange(logits.shape[0]), lab_safe]
+        loss_rpn_cls = jnp.sum(jnp.where(keep, ce, 0.0)) / jnp.maximum(jnp.sum(keep), 1)
+        losses["loss_rpn_cls"] = loss_rpn_cls
+        # RPN bbox loss: sigma 3, summed over anchors (train.py:605-611)
+        loss_rpn_box = smooth_l1_loss(
+            out["rpn_bbox_pred"].reshape(1, -1, 4),
+            out["rpn_bbox_targets"].reshape(1, -1, 4),
+            out["rpn_bbox_inside_weights"].reshape(1, -1, 4),
+            out["rpn_bbox_outside_weights"].reshape(1, -1, 4),
+            sigma=3.0, dim=(1, 2),
+        )
+        losses["loss_rpn_box"] = loss_rpn_box
+        # RCNN class + bbox (train.py:613-623)
+        loss_cls = sparse_softmax_cross_entropy(out["cls_score"], out["labels"].astype(jnp.int32))
+        losses["loss_cls"] = loss_cls
+        loss_box = smooth_l1_loss(
+            out["bbox_pred"], out["bbox_targets"],
+            out["bbox_inside_weights"], out["bbox_outside_weights"], dim=(1,),
+        )
+        losses["loss_box"] = loss_box
+        # pose loss (train.py:626)
+        loss_pose = hp.pose_w * average_distance_loss(
+            out["poses_pred"], out["poses_target"], out["poses_weight"],
+            points, symmetry, hp.margin,
+        )
+        losses["loss_pose"] = loss_pose
+        reg = regularization_loss(params, hp.weight_reg)
+        losses["loss_regu"] = reg
+        loss = loss_rpn_cls + loss_rpn_box + loss_cls + loss_box + loss_pose + reg
+        losses["loss"] = loss
+        return loss, losses
+
+    def step_fn(state, batch, rng):
+        params, opt_state, step = state
+        (loss, losses), grads = jax.value_and_grad(losses_fn, has_aux=True)(
+            params, batch, rng
+        )
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        losses["lr"] = sched(step)
+        return (params, opt_state, step + 1), losses
+
+    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+
+def create_det_train_state(det_cfg, hp: TrainHParams, rng: jax.Array):
+    from posecnn_tpu.models.detection import init_vgg16_det_params
+
+    params = init_vgg16_det_params(rng, det_cfg)
+    tx = make_optimizer(hp)
+    return (params, tx.init(params), jnp.asarray(0, jnp.int32))

@@ -146,3 +146,37 @@ def test_detection_evaluator_perfect_detections():
     ev.add_frame(det, label)
     s = ev.summary()
     assert s["mAP@0.5"] > 0.9
+
+
+def test_det_train_step_loss_decreases():
+    """One-image Faster-R-CNN-style training: all five losses finite and the
+    total decreases over a few steps (train_net_det, lib/fcn/train.py:592-652)."""
+    import numpy as np
+
+    from posecnn_tpu.data.factory import get_imdb
+    from posecnn_tpu.engine.train import (
+        TrainHParams, create_det_train_state, det_batch_from_frame, make_det_train_step,
+    )
+    from posecnn_tpu.models.detection import DetConfig
+
+    imdb = get_imdb("toy_train")
+    cfg = DetConfig(
+        num_classes=imdb.num_classes, is_train=True, compute_dtype=jnp.float32,
+        rpn_pre_nms_top_n=64, rpn_post_nms_top_n=16, roi_batch_size=16, fc_dim=64,
+    )
+    hp = TrainHParams()
+    points = np.stack([np.asarray(p) for p in imdb._points_all]) \
+        if isinstance(imdb._points_all, list) else np.asarray(imdb._points_all)
+    state = create_det_train_state(cfg, hp, jax.random.PRNGKey(0))
+    step = make_det_train_step(cfg, hp, jnp.asarray(points, jnp.float32),
+                               jnp.asarray(imdb._symmetry, jnp.float32))
+    batch = det_batch_from_frame(imdb.load_frame(0), max_gt=8)
+    losses = []
+    rng = jax.random.PRNGKey(1)
+    for i in range(4):
+        rng, sub = jax.random.split(rng)
+        state, m = step(state, batch, sub)
+        losses.append(float(m["loss"]))
+        for k, v in m.items():
+            assert np.isfinite(float(v)), (k, float(v))
+    assert losses[-1] < losses[0], losses

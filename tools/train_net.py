@@ -52,6 +52,10 @@ def main():
     imdb = get_imdb(args.imdb_name)
     print(f"Loaded dataset `{imdb.name}`: {imdb.num_images} images")
 
+    if cfg.NETWORK == "VGG16DET" or args.network_name == "vgg16_det":
+        train_det(args, cfg, imdb)
+        return
+
     model_cfg = PoseCNNConfig(
         num_classes=imdb.num_classes,
         num_units=cfg.TRAIN.NUM_UNITS,
@@ -131,6 +135,54 @@ def main():
         state, start_iter = solver.resume(state)
     solver.train(data_iter, state, args.max_iters, start_iter=start_iter)
     print("done solving")
+
+
+def train_det(args, cfg, imdb):
+    """Detection-variant training (reference train_net_det)."""
+    import time
+
+    import jax
+    import numpy as np
+
+    from posecnn_tpu.core.checkpoint import save_checkpoint
+    from posecnn_tpu.core.config import get_output_dir
+    from posecnn_tpu.engine.train import (
+        TrainHParams, create_det_train_state, det_batch_from_frame, make_det_train_step,
+    )
+    from posecnn_tpu.models.detection import DetConfig
+
+    det_cfg = DetConfig(num_classes=imdb.num_classes, is_train=True)
+    hp = TrainHParams(
+        learning_rate=cfg.TRAIN.LEARNING_RATE, momentum=cfg.TRAIN.MOMENTUM,
+        gamma=cfg.TRAIN.GAMMA, stepsize=cfg.TRAIN.STEPSIZE,
+        weight_reg=cfg.TRAIN.WEIGHT_REG, pose_w=cfg.TRAIN.POSE_W,
+    )
+    points = np.stack([np.asarray(p) for p in imdb._points_all]) \
+        if isinstance(imdb._points_all, list) else np.asarray(imdb._points_all)
+    state = create_det_train_state(det_cfg, hp, jax.random.PRNGKey(cfg.RNG_SEED))
+    step = make_det_train_step(det_cfg, hp, points.astype(np.float32),
+                               np.asarray(imdb._symmetry, np.float32))
+    output_dir = args.output or get_output_dir(imdb.name, "vgg16_det")
+    rng = jax.random.PRNGKey(cfg.RNG_SEED)
+    order = np.random.RandomState(cfg.RNG_SEED).permutation(imdb.num_images)
+    t0 = time.time()
+    for it in range(args.max_iters):
+        frame = imdb.load_frame(int(order[it % imdb.num_images]))
+        batch = det_batch_from_frame(frame, max_gt=cfg.TPU.MAX_GT)
+        rng, sub = jax.random.split(rng)
+        state, m = step(state, batch, sub)
+        if (it + 1) % cfg.TRAIN.DISPLAY == 0:
+            vals = {k: float(v) for k, v in m.items()}
+            print(
+                f"iter {it + 1}/{args.max_iters} "
+                + " ".join(f"{k}: {v:.4f}" for k, v in sorted(vals.items()))
+                + f" ({time.time() - t0:.1f}s)"
+            )
+            t0 = time.time()
+        if (it + 1) % cfg.TRAIN.SNAPSHOT_ITERS == 0 or it + 1 == args.max_iters:
+            save_checkpoint(output_dir, state, it + 1, prefix=cfg.TRAIN.SNAPSHOT_PREFIX,
+                            include_opt_state=cfg.TPU.CHECKPOINT_OPT_STATE)
+    print("done solving (det)")
 
 
 if __name__ == "__main__":
