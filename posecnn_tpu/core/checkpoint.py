@@ -92,16 +92,16 @@ def restore_checkpoint(path: str, target_state):
     params, opt_state, step_arr = target_state
     ckptr = ocp.StandardCheckpointer()
     path = os.path.abspath(path)
-    # light (params-only) checkpoints restore with fresh optimizer state
-    meta = ckptr.metadata(path)
-    has_opt = "opt_state" in getattr(meta, "item_metadata", meta)
-    if has_opt:
+    # light (params-only) checkpoints restore with fresh optimizer state:
+    # try the full layout first, fall back on a tree-structure mismatch
+    try:
         restored = ckptr.restore(
             path, {"params": params, "opt_state": opt_state, "step": step_arr}
         )
         return (restored["params"], restored["opt_state"], restored["step"])
-    restored = ckptr.restore(path, {"params": params, "step": step_arr})
-    return (restored["params"], opt_state, restored["step"])
+    except ValueError:
+        restored = ckptr.restore(path, {"params": params, "step": step_arr})
+        return (restored["params"], opt_state, restored["step"])
 
 
 # ---------------------------------------------------------------------------

@@ -29,14 +29,24 @@ def trunc_normal(key, shape, stddev=0.001, dtype=jnp.float32):
     return stddev * jax.random.truncated_normal(key, -2.0, 2.0, shape, dtype)
 
 
-def init_conv(key, k_h, k_w, c_i, c_o, stddev=0.001):
+def init_conv(key, k_h, k_w, c_i, c_o, stddev=None):
+    """stddev=None -> He/MSRA scaling sqrt(2/fan_in). The reference's fixed
+    0.001 init (network.py:224-240) only works because its trunks are always
+    overwritten by pretrained weights — 13 layers of stddev-0.001 kernels
+    attenuate activations to ~1e-14 and from-scratch training collapses to
+    the background prior. Heads that must match reference magnitudes pass
+    stddev explicitly."""
+    if stddev is None:
+        stddev = math.sqrt(2.0 / (k_h * k_w * c_i))
     return {
         "weights": trunc_normal(key, (k_h, k_w, c_i, c_o), stddev),
         "biases": jnp.zeros((c_o,), jnp.float32),
     }
 
 
-def init_fc(key, c_i, c_o, stddev=0.001):
+def init_fc(key, c_i, c_o, stddev=None):
+    if stddev is None:
+        stddev = math.sqrt(2.0 / c_i)
     return {
         "weights": trunc_normal(key, (c_i, c_o), stddev),
         "biases": jnp.zeros((c_o,), jnp.float32),
