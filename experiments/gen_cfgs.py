@@ -349,7 +349,7 @@ add(
     yml(
         "lov_syn", "COLOR",
         base_train(22, VERTEX_REG_2D=True, POSE_REG=True,
-                   SNAPSHOT_ITERS=2000,
+                   SNAPSHOT_ITERS=2000, GRAD_CLIP=10.0,
                    SNAPSHOT_PREFIX="vgg16_fcn_color_lov_syn_2d_pose"),
         base_test(22, VERTEX_REG_2D=True, POSE_REG=True),
     ) + "TPU:\n  CHECKPOINT_OPT_STATE: False\n",

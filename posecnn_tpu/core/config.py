@@ -69,6 +69,8 @@ class TrainConfig:
 
     # learning rate
     OPTIMIZER: str = "MOMENTUM"
+    # global-norm grad clipping, 0 = off (new knob; needed from scratch)
+    GRAD_CLIP: float = 0.0
     LEARNING_RATE: float = 0.001
     MOMENTUM: float = 0.9
     GAMMA: float = 0.1

@@ -67,6 +67,9 @@ class TrainHParams:
     adapt_weight: float = 0.1
     margin: float = 0.01  # ADD loss hinge (vgg16_convs.py:194)
     vertex_w_inside: float = 10.0  # fg weight in vertex targets (minibatch.py:577)
+    # global-norm gradient clipping; 0 = off (reference parity). From-scratch
+    # VGG training (no ImageNet init) diverges within ~20 iters without it.
+    clip_grad_norm: float = 0.0
     # BGR means for on-device preprocessing of uint8 batches (config.py:242)
     pixel_means: Tuple[float, float, float] = (102.9801, 115.9465, 122.7717)
 
@@ -82,7 +85,10 @@ def lr_schedule(hp: TrainHParams):
 
 
 def make_optimizer(hp: TrainHParams):
-    return optax.sgd(lr_schedule(hp), momentum=hp.momentum, nesterov=False)
+    sgd = optax.sgd(lr_schedule(hp), momentum=hp.momentum, nesterov=False)
+    if hp.clip_grad_norm > 0:
+        return optax.chain(optax.clip_by_global_norm(hp.clip_grad_norm), sgd)
+    return sgd
 
 
 def regularization_loss(params: Dict, scale: float) -> jnp.ndarray:

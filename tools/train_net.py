@@ -84,6 +84,7 @@ def main():
         vertex_w=cfg.TRAIN.VERTEX_W,
         pose_w=cfg.TRAIN.POSE_W,
         adapt_weight=cfg.TRAIN.ADAPT_WEIGHT,
+        clip_grad_norm=cfg.TRAIN.GRAD_CLIP,
     )
     mcfg = MinibatchConfig(
         num_classes=imdb.num_classes,
