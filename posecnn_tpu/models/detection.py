@@ -55,13 +55,17 @@ def init_vgg16_det_params(key: jax.Array, cfg: DetConfig) -> Dict:
     params: Dict[str, Any] = {}
     params.update(init_vgg_trunk(next(ks)))
     params["conv_rpn"] = L.init_conv(next(ks), 3, 3, 512, 512)
-    params["rpn_cls_score"] = L.init_conv(next(ks), 1, 1, 512, 2 * A)
-    params["rpn_bbox_pred"] = L.init_conv(next(ks), 1, 1, 512, 4 * A)
+    # output heads start near zero (stddev 0.01/0.001, the reference's
+    # network.py:224-240 scale): He-scaled logits on un-normalized VGG
+    # activations (input std ~60) put the initial CE at ~30 nats and the
+    # momentum step diverges; hidden layers keep He (from-scratch training)
+    params["rpn_cls_score"] = L.init_conv(next(ks), 1, 1, 512, 2 * A, stddev=0.01)
+    params["rpn_bbox_pred"] = L.init_conv(next(ks), 1, 1, 512, 4 * A, stddev=0.001)
     params["fc6"] = L.init_fc(next(ks), 7 * 7 * 512, cfg.fc_dim)
     params["fc7"] = L.init_fc(next(ks), cfg.fc_dim, cfg.fc_dim)
-    params["cls_score"] = L.init_fc(next(ks), cfg.fc_dim, C)
-    params["bbox_pred"] = L.init_fc(next(ks), cfg.fc_dim, 4 * C)
-    params["poses_pred_unnormalized"] = L.init_fc(next(ks), cfg.fc_dim, 4 * C)
+    params["cls_score"] = L.init_fc(next(ks), cfg.fc_dim, C, stddev=0.01)
+    params["bbox_pred"] = L.init_fc(next(ks), cfg.fc_dim, 4 * C, stddev=0.001)
+    params["poses_pred_unnormalized"] = L.init_fc(next(ks), cfg.fc_dim, 4 * C, stddev=0.001)
     return params
 
 

@@ -31,6 +31,8 @@ def _install():
     from posecnn_tpu.models.gan import (
         dcgan_generator,
         init_dcgan_params,
+        init_vgg16_gan_params,
+        vgg16_gan_forward,
     )
     from posecnn_tpu.models.posecnn import init_posecnn_params, posecnn_forward
     from posecnn_tpu.models.posecnn_full import init_posecnn_full_params, posecnn_full_forward
@@ -43,6 +45,10 @@ def _install():
     register("resnet50", init_resnet50_params, resnet50_forward)
     register("fcn8_vgg", init_fcn8_params, fcn8_forward)
     register("dcgan", init_dcgan_params, dcgan_generator)
+    register("vgg16_gan", init_vgg16_gan_params, vgg16_gan_forward)
+    from posecnn_tpu.models.video import init_video3d_params, video3d_forward
+
+    register("vgg16_3d", init_video3d_params, video3d_forward)
     try:
         from posecnn_tpu.models.detection import init_vgg16_det_params, vgg16_det_forward
 

@@ -23,9 +23,9 @@ def init_fcn8_params(key: jax.Array, num_classes: int) -> Dict:
     p.update(init_vgg_trunk(next(ks)))
     p["fc6"] = L.init_conv(next(ks), 7, 7, 512, 4096)
     p["fc7"] = L.init_conv(next(ks), 1, 1, 4096, 4096)
-    p["score_fr"] = L.init_conv(next(ks), 1, 1, 4096, num_classes)
-    p["score_pool4"] = L.init_conv(next(ks), 1, 1, 512, num_classes)
-    p["score_pool3"] = L.init_conv(next(ks), 1, 1, 256, num_classes)
+    p["score_fr"] = L.init_conv(next(ks), 1, 1, 4096, num_classes, stddev=0.001)
+    p["score_pool4"] = L.init_conv(next(ks), 1, 1, 512, num_classes, stddev=0.001)
+    p["score_pool3"] = L.init_conv(next(ks), 1, 1, 256, num_classes, stddev=0.001)
     p["upscore2"] = L.init_deconv(4, num_classes)
     p["upscore4"] = L.init_deconv(4, num_classes)
     p["upscore32"] = L.init_deconv(16, num_classes)

@@ -120,3 +120,127 @@ def feature_discriminator(params: Dict, feat: jnp.ndarray):
     h = lrelu(L.conv2d(params["conv2_g"], h, stride=2, relu=False))
     h = jnp.mean(h, axis=(1, 2))
     return L.fc(params["fc_g"], h, relu=False)
+
+
+# ---------------------------------------------------------------------------
+# vgg16_gan: FCN generator (label + vertex heads) + VGG patch discriminator
+# over concat(255 * vertex_map, image) — lib/networks/vgg16_gan.py:66-189.
+# The two discriminator passes (predicted vs target vertex map) share one
+# parameter set; outputs are per-patch 2-class log-softmax maps (stride 32).
+# ---------------------------------------------------------------------------
+
+_VGG_GAN_D_DEFS = [
+    # (name, c_o, pool_after, dropout_after)
+    ("conv1_1_d", 64, False, False),
+    ("conv1_2_d", 64, True, False),
+    ("conv2_1_d", 128, False, False),
+    ("conv2_2_d", 128, True, False),
+    ("conv3_1_d", 256, False, False),
+    ("conv3_2_d", 256, False, False),
+    ("conv3_3_d", 256, True, False),
+    ("conv4_1_d", 512, False, False),
+    ("conv4_2_d", 512, False, False),
+    ("conv4_3_d", 512, True, False),
+    ("conv5_1_d", 512, False, True),
+    ("conv5_2_d", 512, False, True),
+    ("conv5_3_d", 512, True, True),
+]
+
+
+def init_vgg16_gan_params(key: jax.Array, num_classes: int, num_units: int = 64) -> Dict:
+    from posecnn_tpu.models.backbone import init_vgg_trunk
+
+    C, U = num_classes, num_units
+    ks = iter(jax.random.split(key, 32))
+    p: Dict[str, Any] = {}
+    # generator: shared trunk + label head + vertex head (vgg16_gan.py:66-143)
+    p.update(init_vgg_trunk(next(ks)))
+    p["score_conv5"] = L.init_conv(next(ks), 1, 1, 512, U)
+    p["upscore_conv5"] = L.init_deconv(4, U)
+    p["score_conv4"] = L.init_conv(next(ks), 1, 1, 512, U)
+    p["upscore"] = L.init_deconv(16, U)
+    p["score"] = L.init_conv(next(ks), 1, 1, U, C, stddev=0.01)
+    p["score_conv5_vertex"] = L.init_conv(next(ks), 1, 1, 512, 128)
+    p["upscore_conv5_vertex"] = L.init_deconv(4, 128)
+    p["score_conv4_vertex"] = L.init_conv(next(ks), 1, 1, 512, 128)
+    p["upscore_vertex"] = L.init_deconv(16, 128)
+    p["vertex_pred"] = L.init_conv(next(ks), 1, 1, 128, 3 * C, stddev=0.001)
+    # discriminator tower (vgg16_gan.py:156-183)
+    c_i = 3 * C + 3
+    for name, c_o, _, _ in _VGG_GAN_D_DEFS:
+        p[name] = L.init_conv(next(ks), 3, 3, c_i, c_o)
+        c_i = c_o
+    p["embed_d"] = L.init_conv(next(ks), 3, 3, 512, U)
+    p["score_d"] = L.init_conv(next(ks), 1, 1, U, 2, stddev=0.01)
+    return p
+
+
+def vgg16_gan_generator(params: Dict, data: jnp.ndarray, num_classes: int,
+                        keep_prob: float = 1.0, rng=None, compute_dtype=jnp.bfloat16) -> Dict:
+    """FCN generator: returns score/prob/label_2d + vertex_pred."""
+    from posecnn_tpu.models.backbone import vgg_trunk
+
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    r1, r2 = jax.random.split(rng)
+    dt = compute_dtype
+    net = vgg_trunk(params, data, compute_dtype=dt)
+    sc5 = L.conv2d(params["score_conv5"], net["conv5_3"], relu=True, compute_dtype=dt)
+    up5 = L.deconv(params["upscore_conv5"], sc5, stride=2)
+    sc4 = L.conv2d(params["score_conv4"], net["conv4_3"], relu=True, compute_dtype=dt)
+    add_score = L.dropout(r1, sc4 + up5, keep_prob)
+    score = L.conv1x1_upsample(params["score"], params["upscore"], add_score,
+                               stride=8, relu=True, compute_dtype=dt)
+    sc5v = L.conv2d(params["score_conv5_vertex"], net["conv5_3"], relu=False, compute_dtype=dt)
+    up5v = L.deconv(params["upscore_conv5_vertex"], sc5v, stride=2)
+    sc4v = L.conv2d(params["score_conv4_vertex"], net["conv4_3"], relu=False, compute_dtype=dt)
+    addv = L.dropout(r2, sc4v + up5v, keep_prob)
+    vertex_pred = L.conv1x1_upsample(params["vertex_pred"], params["upscore_vertex"], addv,
+                                     stride=8, relu=False, compute_dtype=dt)
+    return {
+        "score": score,
+        "prob": L.log_softmax_hd(score),
+        "prob_normalized": L.softmax_hd(score),
+        "label_2d": L.argmax_2d(score),
+        "vertex_pred": vertex_pred,
+    }
+
+
+def vgg16_gan_discriminator(params: Dict, vertex_map: jnp.ndarray, data: jnp.ndarray,
+                            keep_prob: float = 1.0, rng=None,
+                            compute_dtype=jnp.bfloat16) -> jnp.ndarray:
+    """Per-patch real/fake log-probs (B, H/32, W/32, 2) over
+    concat(255 * vertex_map, image) (vgg16_gan.py:150-183)."""
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    rs = iter(jax.random.split(rng, 4))
+    dt = compute_dtype
+    h = jnp.concatenate([255.0 * vertex_map, data], axis=-1)
+    for name, _, pool_after, dropout_after in _VGG_GAN_D_DEFS:
+        h = L.conv2d(params[name], h, relu=True, compute_dtype=dt)
+        if dropout_after:
+            h = L.dropout(next(rs), h, keep_prob)
+        if pool_after:
+            h = L.max_pool(h, 2, 2)
+    h = L.conv2d(params["embed_d"], h, relu=True, compute_dtype=dt)
+    score_d = L.conv2d(params["score_d"], h, relu=True, compute_dtype=dt)
+    return L.log_softmax_hd(score_d)
+
+
+def vgg16_gan_forward(params: Dict, data: jnp.ndarray, num_classes: int,
+                      vertex_targets=None, keep_prob: float = 1.0, rng=None,
+                      compute_dtype=jnp.bfloat16) -> Dict:
+    """Generator + both discriminator passes; outputs_d = [fake, real]."""
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    rg, rd1, rd2 = jax.random.split(rng, 3)
+    out = vgg16_gan_generator(params, data, num_classes, keep_prob, rg, compute_dtype)
+    outputs_d = [
+        vgg16_gan_discriminator(params, out["vertex_pred"], data, keep_prob, rd1, compute_dtype)
+    ]
+    if vertex_targets is not None:
+        outputs_d.append(
+            vgg16_gan_discriminator(params, vertex_targets, data, keep_prob, rd2, compute_dtype)
+        )
+    out["outputs_d"] = outputs_d
+    return out

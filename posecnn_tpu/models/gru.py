@@ -8,6 +8,10 @@ Functional rewrites of the reference cells:
   with reset/update gates.
 * Vanilla2DCell  — lib/networks/vanilla2d.py: tanh(conv([inputs, state])).
 * Add2DCell      — lib/networks/add2d.py: running average by step count.
+* GRU3DCell      — lib/networks/gru3d.py: flag-gated voxel-grid update; a
+  1x1x1 conv3d update gate u over [inputs, state], then
+  new_h = flag * relu(u*state + (1-u)*inputs) + (1-flag) * state
+  (voxels unobserved this frame keep their previous state).
 """
 
 from __future__ import annotations
@@ -67,4 +71,30 @@ def vanilla2d(params: Dict, inputs: jnp.ndarray, state: jnp.ndarray):
 def add2d(inputs: jnp.ndarray, state: jnp.ndarray, step: int):
     """Running average over steps (lib/networks/add2d.py)."""
     new_h = (state * step + inputs) / (step + 1)
+    return new_h, new_h
+
+
+def init_gru3d(key, num_units: int, channels: int) -> Dict:
+    # reference zero-initializes kernel and biases (gru3d.py:34-37)
+    return {
+        "Gates": {
+            "weights": jnp.zeros((num_units + channels, num_units), jnp.float32),
+            "biases": jnp.zeros((num_units,), jnp.float32),
+        }
+    }
+
+
+def gru3d(params: Dict, inputs: jnp.ndarray, flag: jnp.ndarray, state: jnp.ndarray):
+    """Voxel-grid GRU (lib/networks/gru3d.py:24-62).
+
+    inputs (B,G,G,G,C), flag (B,G,G,G,1) 1 where the voxel was observed this
+    frame, state (B,G,G,G,U). The reference's 1x1x1 conv3d is exactly a
+    per-voxel matmul over the channel axis — lowered here as an einsum so the
+    MXU sees one big (B*G^3, C+U) x (C+U, U) contraction instead of a conv3d.
+    """
+    xs = jnp.concatenate([inputs, state], axis=-1)
+    g = params["Gates"]
+    u = jax.nn.sigmoid(xs @ g["weights"] + g["biases"])
+    fused = jax.nn.relu(u * state + (1.0 - u) * inputs)
+    new_h = flag * fused + (1.0 - flag) * state
     return new_h, new_h

@@ -84,21 +84,21 @@ def init_posecnn_params(key: jax.Array, cfg: PoseCNNConfig) -> Dict:
     params["upscore_conv5"] = L.init_deconv(4, U)
     params["score_conv4"] = L.init_conv(next(ks), 1, 1, c5, U)
     params["upscore"] = L.init_deconv(16, U)
-    params["score"] = L.init_conv(next(ks), 1, 1, U, C)
+    params["score"] = L.init_conv(next(ks), 1, 1, U, C, stddev=0.01)
 
     if cfg.vertex_reg:
         params["score_conv5_vertex"] = L.init_conv(next(ks), 1, 1, 512, 128)
         params["upscore_conv5_vertex"] = L.init_deconv(4, 128)
         params["score_conv4_vertex"] = L.init_conv(next(ks), 1, 1, 512, 128)
         params["upscore_vertex"] = L.init_deconv(16, 128)
-        params["vertex_pred"] = L.init_conv(next(ks), 1, 1, 128, 3 * C)
+        params["vertex_pred"] = L.init_conv(next(ks), 1, 1, 128, 3 * C, stddev=0.001)
         if cfg.pose_reg:
             params["fc6"] = L.init_fc(next(ks), 7 * 7 * 512, cfg.fc_dim)
             params["fc7"] = L.init_fc(next(ks), cfg.fc_dim, cfg.fc_dim)
-            params["fc8"] = L.init_fc(next(ks), cfg.fc_dim, 4 * C)
+            params["fc8"] = L.init_fc(next(ks), cfg.fc_dim, 4 * C, stddev=0.001)
             if cfg.adaptation:
                 params["fc9"] = L.init_fc(next(ks), 7 * 7 * 512, 256)
-                params["domain_score"] = L.init_fc(next(ks), 256, 2)
+                params["domain_score"] = L.init_fc(next(ks), 256, 2, stddev=0.01)
     return params
 
 

@@ -39,17 +39,17 @@ def init_posecnn_full_params(key: jax.Array, cfg: PoseCNNConfig) -> Dict:
         params[name] = L.init_conv(next(ks), 1, 1, c_i, U)
     for lvl in ("5", "4", "3", "2"):
         params[f"upscore_conv{lvl}"] = L.init_deconv(4, U)
-    params["score"] = L.init_conv(next(ks), 1, 1, U, C)
+    params["score"] = L.init_conv(next(ks), 1, 1, U, C, stddev=0.01)
     if cfg.vertex_reg:
         for name, _, c_i in _SCALES:
             params[name + "_vertex"] = L.init_conv(next(ks), 1, 1, c_i, U)
         for lvl in ("5", "4", "3", "2"):
             params[f"upscore_conv{lvl}_vertex"] = L.init_deconv(4, U)
-        params["vertex_pred"] = L.init_conv(next(ks), 1, 1, U, 3 * C)
+        params["vertex_pred"] = L.init_conv(next(ks), 1, 1, U, 3 * C, stddev=0.001)
         if cfg.pose_reg:
             params["fc6"] = L.init_fc(next(ks), 7 * 7 * 512, 4096)
             params["fc7"] = L.init_fc(next(ks), 4096, 4096)
-            params["poses_pred_unnormalized"] = L.init_fc(next(ks), 4096, 4 * C)
+            params["poses_pred_unnormalized"] = L.init_fc(next(ks), 4096, 4 * C, stddev=0.001)
     return params
 
 

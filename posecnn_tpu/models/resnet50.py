@@ -52,7 +52,7 @@ def init_resnet50_params(key: jax.Array, num_classes: int, input_dim: int = 3) -
             p[f"res{stage}{b}_branch2c"] = {"weights": L.trunc_normal(next(ks), (1, 1, mid, out))}
             p[f"bn{stage}{b}_branch2c"] = _init_bn(out)
         c_in = out
-    p["score"] = L.init_conv(next(ks), 1, 1, 2048, num_classes)
+    p["score"] = L.init_conv(next(ks), 1, 1, 2048, num_classes, stddev=0.01)
     p["upscore"] = L.init_deconv(32, num_classes)
     return p
 

@@ -141,3 +141,63 @@ def test_gan_shapes():
     assert g.shape == (2, 64, 64, 3)
     d = dcgan_discriminator(p, jnp.concatenate([img, g], axis=3), train=False)
     assert d.shape == (2, 1)
+
+
+def test_gru3d_flag_gating():
+    from posecnn_tpu.models.gru import gru3d, init_gru3d
+
+    U = 4
+    p = init_gru3d(jax.random.PRNGKey(0), U, U)
+    rng = np.random.RandomState(0)
+    inputs = jnp.asarray(rng.rand(1, 2, 2, 2, U).astype(np.float32))
+    state = jnp.asarray(rng.rand(1, 2, 2, 2, U).astype(np.float32))
+    flag = jnp.zeros((1, 2, 2, 2, 1)).at[0, 0, 0, 0, 0].set(1.0)
+    out, new_h = gru3d(p, inputs, flag, state)
+    # zero-init gate -> u = 0.5 -> observed voxels move to the midpoint,
+    # unobserved voxels keep their previous state (gru3d.py:59-61)
+    np.testing.assert_allclose(
+        np.asarray(out[0, 0, 0, 0]), 0.5 * np.asarray(inputs[0, 0, 0, 0] + state[0, 0, 0, 0]), rtol=1e-6
+    )
+    np.testing.assert_allclose(np.asarray(out[0, 1, 1, 1]), np.asarray(state[0, 1, 1, 1]), rtol=1e-6)
+
+
+def test_video3d_forward_shapes():
+    from posecnn_tpu.models.video import Video3DConfig, init_video3d_params, video3d_forward
+
+    cfg = Video3DConfig(
+        num_classes=3, num_units=4, grid_size=4, compute_dtype=jnp.float32,
+        backproject_threshold=10.0,
+    )
+    params = init_video3d_params(jax.random.PRNGKey(0), cfg)
+    T, B, H, W = 2, 1, 16, 16
+    meta = np.zeros((T, B, 48), np.float32)
+    K = np.array([[10.0, 0, 8], [0, 10.0, 8], [0, 0, 1]])
+    meta[..., 0:9] = K.flatten()
+    meta[..., 9:18] = np.linalg.inv(K).flatten()
+    meta[..., 18:30] = np.hstack([np.eye(3), np.zeros((3, 1))]).flatten()
+    meta[..., 30:42] = np.hstack([np.eye(3), np.zeros((3, 1))]).flatten()
+    meta[..., 42:45] = 0.5  # voxel step
+    meta[..., 45:48] = -1.0  # voxel origin
+    outs, state = video3d_forward(
+        params, cfg,
+        jnp.zeros((T, B, H, W, 3)),
+        jnp.ones((T, B, H, W)),
+        jnp.asarray(meta),
+    )
+    assert outs["label_2d"].shape == (T, B, H, W)
+    assert state.shape == (B, 4, 4, 4, 3)
+
+
+def test_vgg16_gan_shapes():
+    from posecnn_tpu.models.gan import init_vgg16_gan_params, vgg16_gan_forward
+
+    C = 3
+    p = init_vgg16_gan_params(jax.random.PRNGKey(0), C, num_units=4)
+    data = jnp.zeros((1, 32, 32, 3))
+    vt = jnp.zeros((1, 32, 32, 3 * C))
+    out = vgg16_gan_forward(p, data, C, vertex_targets=vt, compute_dtype=jnp.float32)
+    assert out["prob"].shape == (1, 32, 32, C)
+    assert out["vertex_pred"].shape == (1, 32, 32, 3 * C)
+    # patch discriminator downsamples by 32; [fake, real] passes share params
+    assert len(out["outputs_d"]) == 2
+    assert out["outputs_d"][0].shape == (1, 1, 1, 2)
