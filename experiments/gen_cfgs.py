@@ -360,7 +360,8 @@ add(
     "toy_pose",
     yml(
         "toy", "COLOR",
-        dict(SINGLE_FRAME=True, LEARNING_RATE=0.001, IMS_PER_BATCH=2,
+        dict(SINGLE_FRAME=True, LEARNING_RATE=0.001, GRAD_CLIP=10.0,
+             IMS_PER_BATCH=2,
              NUM_CLASSES=4, NUM_UNITS=16, VERTEX_REG_2D=True, POSE_REG=True,
              CHROMATIC=True, ADD_NOISE=False, SNAPSHOT_ITERS=50, DISPLAY=2),
         dict(SINGLE_FRAME=True, VERTEX_REG_2D=True, POSE_REG=True),
@@ -404,6 +405,34 @@ DEMO_SH = """#!/bin/bash
 set -ex
 python tools/demo.py --images data/demo_images "$@"
 """
+
+SMOKE_SH = """#!/bin/bash
+# {name}: subsystem smoke tool (reference experiments/scripts/{name}.sh)
+# generated by experiments/gen_cfgs.py — edit there
+set -ex
+export PYTHONUNBUFFERED=1
+python {tool} {args} "$@"
+"""
+
+# smoke-tool wrappers mirroring the reference's test_*.sh surface
+# (SURVEY.md §4: subsystem smoke tools each had a matching script)
+SMOKE_SCRIPTS = [
+    ("test_icp", "tools/test_icp.py", ""),
+    ("test_kinect_fusion", "tools/test_kinect_fusion.py", ""),
+    ("test_synthesis", "tools/test_synthesis.py", "--imdb lov_syn_val"),
+    ("test_synthesis_linemod", "tools/test_synthesis.py", "--imdb linemod_ape_test"),
+    ("test_synthesis_sym", "tools/test_synthesis.py", "--imdb sym_val"),
+    ("test_synthesis_yumi", "tools/test_synthesis.py", "--imdb yumi_val"),
+    ("test_render_poses", "tools/render_poses.py", ""),
+    ("test_render_poses_color", "tools/render_poses.py", "--alpha 1.0"),
+    ("test_images", "tools/demo.py", "--images data/demo_images"),
+    ("test_images_ycb", "tools/demo.py", "--images data/demo_images --cfg experiments/cfgs/ycb_color_2d_pose.yml"),
+    ("test_images_yumi", "tools/demo.py", "--images data/demo_images --cfg experiments/cfgs/yumi_color_2d.yml"),
+    # ROS-listener equivalents: directory-watch / TCP online inference
+    ("test_images_ros", "tools/online.py", "--watch output/camera --once"),
+    ("test_ros_bag", "tools/online.py", "--serve 5555"),
+    ("check_data", "tools/check_data.py", "--imdb toy_train"),
+]
 
 
 def script_pairs():
@@ -473,6 +502,12 @@ def main():
     with open(p, "w") as f:
         f.write(DEMO_SH)
     os.chmod(p, 0o755)
+    for name, tool, args in SMOKE_SCRIPTS:
+        p = os.path.join(SCRIPT_DIR, name + ".sh")
+        with open(p, "w") as f:
+            f.write(SMOKE_SH.format(name=name, tool=tool, args=args))
+        os.chmod(p, 0o755)
+        n_scripts += 1
     print(f"wrote {len(CONFIGS)} configs, {n_scripts + 1} scripts")
 
 
