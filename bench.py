@@ -35,29 +35,42 @@ def main():
     jax.block_until_ready(out)
 
     # steady-state device latency via a CHAINED loop: each frame's input is
-    # perturbed by the previous frame's output, forcing serial execution on
-    # device (async dispatch can otherwise overlap iterations and
-    # `block_until_ready` alone is unreliable on tunneled platforms). Host
-    # fetches are excluded: this environment reaches the TPU through a
-    # debug tunnel (~30 ms RTT, ~30 MB/s — measured), which no production
-    # host has; on-device latency is the hardware-meaningful number.
+    # perturbed by the previous frame's output (the label map), forcing
+    # strictly serial per-frame execution on device (async dispatch can
+    # otherwise overlap iterations and `block_until_ready` alone is
+    # unreliable on tunneled platforms). The chain runs INSIDE one jit via
+    # lax.scan so per-call host dispatch is excluded: this environment
+    # reaches the TPU through a debug tunnel (~2-3 ms per dispatch, ~30 ms
+    # RTT — measured), which no production host has; on-device latency is
+    # the hardware-meaningful number. The perturbation touches the raw
+    # input frame itself, so no part of the network is loop-invariant and
+    # XLA cannot hoist any stage out of the scan.
     import jax.numpy as jnp
+
+    K = 25
 
     @jax.jit
     def chained(params, raw, seed):
-        r = (raw + seed).astype(jnp.uint8)
-        out = jfn(params, r, meta, extents)
-        return out, out[0][0, 0, 0].astype(jnp.uint8)
+        def body(s, _):
+            r = (raw + s).astype(jnp.uint8)
+            out = jfn(params, r, meta, extents)
+            # fold EVERY output head into the carry so dead-code elimination
+            # cannot drop any stage (labels, vertex field, rois, poses)
+            tot = sum(o.astype(jnp.float32).sum() for o in jax.tree_util.tree_leaves(out))
+            return (tot * 1e-9).astype(jnp.uint8), None
 
-    out, seed = chained(params, raw, jnp.uint8(0))
+        s, _ = jax.lax.scan(body, seed, None, length=K)
+        return s
+
+    seed = chained(params, raw, jnp.uint8(0))
     jax.device_get(seed)
-    iters = 30
+    iters = 4
     t0 = time.perf_counter()
     for _ in range(iters):
-        out, seed = chained(params, raw, seed)
+        seed = chained(params, raw, seed)
     jax.device_get(seed)
     dt = time.perf_counter() - t0
-    fps = iters / dt
+    fps = iters * K / dt
 
     print(
         json.dumps(

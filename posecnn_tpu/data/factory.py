@@ -31,8 +31,10 @@ def _install_defaults():
         register(f"toy_{split}", lambda s=split: toy(s))
     from posecnn_tpu.data.linemod import linemod
 
+    # reference registry splits: train/test/train_few/test_few
+    # (lib/datasets/factory.py:94-101)
     for cls in linemod.LINEMOD_CLASSES[1:]:
-        for split in ("train", "test"):
+        for split in ("train", "test", "train_few", "test_few"):
             register(f"linemod_{cls}_{split}", lambda c=cls, s=split: linemod(c, s))
 
     def _lov_syn(split):

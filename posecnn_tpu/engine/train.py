@@ -134,24 +134,31 @@ def compute_losses(
     loss = regularization_loss(params, hp.weight_reg)
     losses["loss_regu"] = loss
 
-    loss_cls = loss_cross_entropy_single_frame(out["prob"], out["gt_label_weight"])
+    # fused hard_label + CE on raw logits: avoids materializing the dense
+    # one-hot / softmax / log-softmax (B,H,W,C) tensors in the train graph
+    from posecnn_tpu.ops.losses import loss_cross_entropy_hard_label_sparse
+
+    loss_cls = loss_cross_entropy_hard_label_sparse(
+        out["score"], batch["gt_label_2d"], model_cfg.threshold_label
+    )
     losses["loss_cls"] = loss_cls
     loss = loss + loss_cls
 
     if model_cfg.vertex_reg:
         if "vertex_targets" in batch:
             vtargets, vweights = batch["vertex_targets"], batch["vertex_weights"]
+            loss_vertex = hp.vertex_w * smooth_l1_loss_vertex(
+                out["vertex_pred"], vtargets, vweights
+            )
         else:
-            # in-graph target generation from the small GT-center table
-            from posecnn_tpu.ops.vertex_targets import vertex_targets_device
+            # fused in-graph target generation + loss from the small
+            # GT-center table (no (B,H,W,3C) target blobs)
+            from posecnn_tpu.ops.vertex_targets import smooth_l1_loss_vertex_sparse
 
-            vtargets, vweights = vertex_targets_device(
-                batch["gt_label_2d"], batch["gt_centers"],
+            loss_vertex = hp.vertex_w * smooth_l1_loss_vertex_sparse(
+                out["vertex_pred"], batch["gt_label_2d"], batch["gt_centers"],
                 model_cfg.num_classes, hp.vertex_w_inside,
             )
-        loss_vertex = hp.vertex_w * smooth_l1_loss_vertex(
-            out["vertex_pred"], vtargets, vweights
-        )
         losses["loss_vertex"] = loss_vertex
         loss = loss + loss_vertex
 

@@ -12,7 +12,7 @@ from typing import Dict, Optional
 import jax
 import jax.numpy as jnp
 
-from posecnn_tpu.models.layers import conv2d, init_conv, max_pool
+from posecnn_tpu.models.layers import conv2d, conv3x3_manual_bwd, init_conv, max_pool
 
 VGG_CONV_DEFS = [
     # (name, c_i, c_o, pool_after)
@@ -46,11 +46,27 @@ def vgg_trunk(
     suffix: str = "",
     compute_dtype: Optional[jnp.dtype] = jnp.bfloat16,
 ) -> Dict[str, jnp.ndarray]:
-    """Returns dict with conv4_3 / conv5_3 (plus all intermediate endpoints)."""
+    """Returns dict with conv4_3 / conv5_3 (plus all intermediate endpoints).
+
+    The full-resolution 64-channel layer (conv1_2) uses a hand-written XLA
+    backward (layers.conv3x3_manual_bwd): XLA's autodiff-generated backward
+    for that shape costs ~17 of the 25.7 ms B=2 trunk fwd+bwd. conv2..conv5
+    stay on plain XLA autodiff (they run near the matmul roofline).
+    """
     out = {}
     h = x
-    for name, _, _, pool_after in VGG_CONV_DEFS:
-        h = conv2d(params[name + suffix], h, stride=1, relu=True, compute_dtype=compute_dtype)
+    for name, _, c_out, pool_after in VGG_CONV_DEFS:
+        p = params[name + suffix]
+        if (
+            compute_dtype == jnp.bfloat16
+            and c_out == 64
+            and name != "conv1_1"
+            and h.ndim == 4
+            and h.shape[1] >= 128
+        ):
+            h = conv3x3_manual_bwd(p, h)
+        else:
+            h = conv2d(p, h, stride=1, relu=True, compute_dtype=compute_dtype)
         out[name + suffix] = h
         if pool_after:
             h = max_pool(h, 2, 2)

@@ -73,6 +73,72 @@ def init_deconv(k: int, channels: int):
     return {"weights": make_deconv_filter(k, channels)}
 
 
+@jax.custom_vjp
+def _conv3x3_mb(x, w, b):
+    y, _ = _conv3x3_mb_fwd(x, w, b)
+    return y
+
+
+def _conv3x3_mb_fwd(x, w, b):
+    xb = x.astype(jnp.bfloat16)
+    wb = w.astype(jnp.bfloat16)
+    y = jax.lax.conv_general_dilated(xb, wb, (1, 1), "SAME", dimension_numbers=DN)
+    y = jax.nn.relu(y + b.astype(jnp.bfloat16))
+    return y, (xb, wb, y)
+
+
+def _conv3x3_mb_bwd(res, g):
+    xb, wb, y = res
+    g = jnp.where(y > 0, g.astype(jnp.bfloat16), jnp.bfloat16(0))
+    # dgrad: stride-1 SAME conv with spatially flipped, transposed weights
+    wflip = jnp.flip(wb, axis=(0, 1)).transpose(0, 1, 3, 2)
+    dx = jax.lax.conv_general_dilated(g, wflip, (1, 1), "SAME", dimension_numbers=DN)
+    # wgrad: 9 shifted pixel contractions (tall-K matmuls)
+    B, H, W, _ = xb.shape
+    xp = jnp.pad(xb, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    dw = jnp.stack(
+        [
+            jnp.stack(
+                [
+                    jnp.einsum(
+                        "bhwc,bhwd->cd",
+                        xp[:, dy:dy + H, dx_:dx_ + W, :],
+                        g,
+                        preferred_element_type=jnp.float32,
+                    )
+                    for dx_ in range(3)
+                ]
+            )
+            for dy in range(3)
+        ]
+    )
+    db = jnp.sum(g.astype(jnp.float32), axis=(0, 1, 2))
+    return dx.astype(xb.dtype), dw, db
+
+
+_conv3x3_mb.defvjp(_conv3x3_mb_fwd, _conv3x3_mb_bwd)
+
+
+def conv3x3_manual_bwd(params, x: jnp.ndarray) -> jnp.ndarray:
+    """bf16 3x3 SAME conv + bias + ReLU with a hand-written XLA backward.
+
+    XLA's autodiff-generated fused backward for the full-resolution
+    64-channel trunk layer (conv1_2: 640x480x64) is pathological — the
+    trunk backward measures ~4.4x its forward instead of ~2x. Expressing
+    dgrad as an explicit flipped-weight forward conv and wgrad as 9
+    shifted einsum contractions cuts B=2 trunk fwd+bwd from 25.7 ms to
+    19.9 ms. Forward numerics are the plain bf16 conv (bias+relu fused in
+    bf16); backward matches autodiff up to bf16 rounding. A Pallas
+    alternative exists (ops/pallas/conv3x3.py) and is faster standalone,
+    but its custom-call boundary costs more than it saves inside the full
+    jit graph (measured 8.4 vs 4.8 ms trunk forward).
+    """
+    # cast OUTSIDE the custom_vjp so the primal/cotangent dtypes agree
+    # inside it (the astype's own vjp converts the bf16 dx back to the
+    # caller's activation dtype)
+    return _conv3x3_mb(x.astype(jnp.bfloat16), params["weights"], params["biases"])
+
+
 def conv2d(
     params,
     x: jnp.ndarray,

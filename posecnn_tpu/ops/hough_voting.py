@@ -148,15 +148,16 @@ def _vote_terms(cx, cy, x, y, u, v, thr, valid, inlier_threshold):
     """Inlier mask for centers (broadcast) x samples.
 
     cx/cy broadcast against per-sample x,y,u,v,thr (sample axis first).
-    Implements angle_distance > thr as dot > thr*|u||c-p| (no division; the
+    Implements angle_distance > thr as dot > thr*|u||c-p|, evaluated
+    sqrt-free as dot > 0 and dot^2 > thr^2*|u|^2*|c-p|^2 (no division; the
     CUDA NaN-compare at c==p is 'false' either way).
     """
     dx = cx - x
     dy = cy - y
     dot = u * dx + v * dy
-    n1 = jnp.sqrt(u * u + v * v)
-    n2 = jnp.sqrt(dx * dx + dy * dy)
-    inlier = dot > inlier_threshold * n1 * n2
+    n1sq = u * u + v * v
+    n2sq = dx * dx + dy * dy
+    inlier = (dot > 0.0) & (dot * dot > (inlier_threshold * inlier_threshold) * n1sq * n2sq)
     boxed = (jnp.abs(dx) < thr) & (jnp.abs(dy) < thr)
     return inlier & boxed & valid
 
@@ -321,9 +322,9 @@ def hough_voting(
         if use_pallas:
             from posecnn_tpu.ops.pallas.voting import accumulate_votes_slots
 
-            tn1 = inlier_threshold * jnp.sqrt(su * su + sv * sv)
+            tsq = (inlier_threshold * inlier_threshold) * (su * su + sv * sv)
             packed = jnp.stack(
-                [sx, sy, su, sv, sd, sthr, tn1, svalid.astype(jnp.float32)], axis=1
+                [sx, sy, su, sv, sd, sthr, tsq, svalid.astype(jnp.float32)], axis=1
             )  # (S, 8, P)
             cx_grid = jnp.tile(gxs, gh)
             cy_grid = jnp.repeat(gys, gw)
@@ -365,8 +366,10 @@ def hough_voting(
                 j = jnp.argmax(f)
                 return cxs[j % RW], cys[j // RW], f[j], d2.reshape(-1)[j]
 
-            cx, cy, vbest, dbest = jax.lax.map(
-                refine, (sx, sy, su, sv, sd, sthr, svalid, x0, y0)
+            # vmap, not lax.map: the window is tiny (S x RW^2 x P) and a
+            # sequential scan over slots costs S kernel launches
+            cx, cy, vbest, dbest = jax.vmap(refine)(
+                (sx, sy, su, sv, sd, sthr, svalid, x0, y0)
             )
         else:
             cx, cy = bx, by
@@ -381,9 +384,11 @@ def hough_voting(
             dx = x - ccx
             dy = y - ccy
             dot = u * (ccx - x) + v * (ccy - y)
-            n1 = jnp.sqrt(u * u + v * v)
-            n2 = jnp.sqrt(dx * dx + dy * dy)
-            inl = dot > inlier_threshold * n1 * n2
+            n1sq = u * u + v * v
+            n2sq = dx * dx + dy * dy
+            inl = (dot > 0.0) & (
+                dot * dot > (inlier_threshold * inlier_threshold) * n1sq * n2sq
+            )
             okb = (jnp.abs(dx) < thr_mean) & (jnp.abs(dy) < thr_mean) & inl & val
             bw = jnp.max(jnp.where(okb, jnp.abs(dx), -1.0))
             bh = jnp.max(jnp.where(okb, jnp.abs(dy), -1.0))
@@ -602,9 +607,13 @@ def hough_voting_multi(
                 dx = gxs[None, None, :] - xc[:, None, None]
                 dy = gys[None, :, None] - yc[:, None, None]
                 dot = uc[:, None, None] * dx + vc[:, None, None] * dy
-                n1 = jnp.sqrt(uc * uc + vc * vc)[:, None, None]
-                n2 = jnp.sqrt(dx * dx + dy * dy)
-                inl = (dot > inlier_threshold * n1 * n2) & vl[:, None, None]
+                n1sq = (uc * uc + vc * vc)[:, None, None]
+                n2sq = dx * dx + dy * dy
+                inl = (
+                    (dot > 0.0)
+                    & (dot * dot > (inlier_threshold * inlier_threshold) * n1sq * n2sq)
+                    & vl[:, None, None]
+                )
                 okb = inl & (jnp.abs(dx) < thr_map[None]) & (jnp.abs(dy) < thr_map[None])
                 bw = jnp.maximum(bw, jnp.max(jnp.where(okb, jnp.abs(dx), -1.0), axis=0))
                 bh = jnp.maximum(bh, jnp.max(jnp.where(okb, jnp.abs(dy), -1.0), axis=0))

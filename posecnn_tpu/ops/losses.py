@@ -21,6 +21,32 @@ def loss_cross_entropy_single_frame(scores: jnp.ndarray, labels: jnp.ndarray) ->
     return jnp.sum(cross_entropy) / (jnp.sum(labels) + 1e-10)
 
 
+def loss_cross_entropy_hard_label_sparse(
+    score: jnp.ndarray, gt: jnp.ndarray, threshold: float
+) -> jnp.ndarray:
+    """Fused `hard_label` + cross-entropy on raw (post-ReLU) logits.
+
+    Equals loss_cross_entropy_single_frame(log_softmax(score),
+    hard_label(softmax(score), gt, threshold)) without materializing the
+    (B,H,W,C) one-hot / log-softmax / softmax tensors: the hard-label output
+    is one-hot at `gt` gated by (gt != -1) & (gt > 0 | prob[gt] < threshold)
+    (lib/hard_label_layer/hard_label_op_gpu.cu.cc:17-29), so the dense
+    contraction reduces to picking the gt channel's log-probability. The
+    gate is stop-gradiented exactly like the CUDA op's zero gradient.
+    """
+    C = score.shape[-1]
+    gt_safe = jnp.clip(gt, 0, C - 1)
+    onehot = (gt_safe[..., None] == jnp.arange(C, dtype=gt_safe.dtype)).astype(score.dtype)
+    score_gt = jnp.sum(score * onehot, axis=-1)  # (B,H,W)
+    m = jnp.max(score, axis=-1)
+    lse = m + jnp.log(jnp.sum(jnp.exp(score - m[..., None]), axis=-1))
+    logp_gt = score_gt - lse
+    prob_gt = jnp.exp(logp_gt)
+    select = (gt != -1) & ((gt > 0) | (prob_gt < threshold))
+    gate = jax.lax.stop_gradient(select.astype(score.dtype))
+    return -jnp.sum(gate * logp_gt) / (jnp.sum(gate) + 1e-10)
+
+
 def loss_cross_entropy_steps(scores_list, labels_list) -> jnp.ndarray:
     """Multi-frame variant (lib/fcn/train.py:438-453)."""
     loss = 0.0

@@ -10,7 +10,7 @@ centers. The XLA fallback (`_votes_jax`, identical math) materializes
 touches HBM — only the per-center vote/depth-sum outputs do.
 
 Layout:
-  samples  (S, 8, P) f32 rows: px, py, u, v, depth, box_thr, 0.9*|uv|, valid
+  samples  (S, 8, P) f32 rows: px, py, u, v, depth, box_thr, (0.9*|uv|)^2, valid
   centers  (2, NCpad) f32 rows: cx, cy   (padded tail gets cx = -1e9 -> 0 votes)
   outputs  votes (S, NCpad) f32, dsum (S, NCpad) f32
 
@@ -46,15 +46,18 @@ def _vote_kernel(samples_ref, centers_ref, votes_ref, dsum_ref):
         v = samples_ref[s, 3, :]
         d = samples_ref[s, 4, :]
         thr = samples_ref[s, 5, :]
-        tn1 = samples_ref[s, 6, :]     # inlier_threshold * |(u,v)|
+        tsq = samples_ref[s, 6, :]     # (inlier_threshold * |(u,v)|)^2
         val = samples_ref[s, 7, :]
 
         dx = cx - px[None, :]                    # (block, P)
         dy = cy - py[None, :]
         dot = u[None, :] * dx + v[None, :] * dy
-        n2 = jnp.sqrt(dx * dx + dy * dy)
+        # sqrt-free cosine test: dot > t*|uv|*|c-p|  <=>  dot > 0 and
+        # dot^2 > t^2*|uv|^2*|c-p|^2 (both sides non-negative)
+        n2sq = dx * dx + dy * dy
         ok = (
-            (dot > tn1[None, :] * n2)
+            (dot > 0.0)
+            & (dot * dot > tsq[None, :] * n2sq)
             & (jnp.abs(dx) < thr[None, :])
             & (jnp.abs(dy) < thr[None, :])
             & (val[None, :] > 0.0)
@@ -116,14 +119,15 @@ def _votes_pallas_impl(samples: jnp.ndarray, centers: jnp.ndarray, block: int, i
 
 def _votes_jax(samples, centers):
     """Reference path: same math, XLA broadcast-reduce (used on CPU)."""
-    px, py, u, v, d, thr, tn1, val = [samples[:, i, :] for i in range(8)]
+    px, py, u, v, d, thr, tsq, val = [samples[:, i, :] for i in range(8)]
     cx, cy = centers[0], centers[1]
     dx = cx[None, :, None] - px[:, None, :]          # (S, NC, P)
     dy = cy[None, :, None] - py[:, None, :]
     dot = u[:, None, :] * dx + v[:, None, :] * dy
-    n2 = jnp.sqrt(dx * dx + dy * dy)
+    n2sq = dx * dx + dy * dy
     ok = (
-        (dot > tn1[:, None, :] * n2)
+        (dot > 0.0)
+        & (dot * dot > tsq[:, None, :] * n2sq)
         & (jnp.abs(dx) < thr[:, None, :])
         & (jnp.abs(dy) < thr[:, None, :])
         & (val[:, None, :] > 0.0)
@@ -143,7 +147,7 @@ def accumulate_votes_slots(
     """votes/dsum (S, NC) for S class slots over NC candidate centers.
 
     samples: (S, 8, P) packed rows px, py, u, v, depth, box_thr,
-    inlier_thr*|uv|, valid; centers: (2, NC). NC is padded internally to a
+    (inlier_thr*|uv|)^2, valid; centers: (2, NC). NC is padded internally to a
     multiple of `block` (padded centers sit at -1e9 and collect 0 votes).
     """
     S, rows, P = samples.shape

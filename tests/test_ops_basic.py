@@ -119,6 +119,64 @@ def test_roi_pool_matches_reference():
     np.testing.assert_allclose(outc, refc, atol=1e-6)
 
 
+def test_roi_pool_backward_argmax_scatter():
+    """Gradient of sum(out) puts exactly 1 at each non-empty bin's argmax
+    (the CUDA op's saved-argmax backward, roi_pooling_op_gpu.cu.cc backward)."""
+    B, H, W, C = 1, 12, 16, 3
+    feat = RNG.randn(B, H, W, C).astype(np.float32)  # distinct values: no ties
+    rois = np.array([[0, 1, 8, 8, 72, 56, 1.0], [0, 2, 0, 0, 120, 88, 1.0]], np.float32)
+
+    def f(x):
+        return jnp.sum(roi_pool(x, jnp.asarray(rois), 4, 4, 1.0 / 8.0))
+
+    g = np.asarray(jax.grad(f)(jnp.asarray(feat)))
+    out = roi_pool_ref(feat, rois, 4, 1.0 / 8.0)
+    # every gradient entry is a non-negative integer (bin-count multiplicity)
+    assert np.all(g >= 0) and np.allclose(g, np.round(g))
+    # total mass == number of non-empty bins
+    nonempty = sum(
+        1
+        for r in range(2)
+        for i in range(4)
+        for j in range(4)
+        for c in range(C)
+        if out[r, i, j, c] != 0.0
+    )
+    assert int(g.sum()) == nonempty
+
+
+def test_roi_pool_batched_grads_match_autodiff():
+    """roi_pool_batched's manual VJP (one-hot-matmul scatter + level chain)
+    == autodiff through the generic roi_pool table path (no ties with
+    random f32 features)."""
+    from posecnn_tpu.ops.roi_pool import roi_pool_batched
+
+    B, H, W, C, D = 2, 10, 16, 4, 3
+    feat = RNG.randn(B, H, W, C).astype(np.float32)
+    rois = np.zeros((B, D, 7), np.float32)
+    rois[..., 2] = RNG.uniform(0, 60, (B, D))
+    rois[..., 3] = RNG.uniform(0, 40, (B, D))
+    rois[..., 4] = rois[..., 2] + RNG.uniform(16, 80, (B, D))
+    rois[..., 5] = rois[..., 3] + RNG.uniform(16, 60, (B, D))
+    flat = rois.reshape(B * D, 7).copy()
+    flat[:, 0] = np.repeat(np.arange(B), D)
+    cot = RNG.randn(B, D, 4, 4, C).astype(np.float32)
+
+    def f_batched(x):
+        return jnp.sum(roi_pool_batched(x, jnp.asarray(rois), 4, 1.0 / 8.0) * cot)
+
+    def f_generic(x):
+        out = roi_pool(x, jnp.asarray(flat), 4, 4, 1.0 / 8.0)
+        return jnp.sum(out * cot.reshape(B * D, 4, 4, C))
+
+    ob = np.asarray(roi_pool_batched(jnp.asarray(feat), jnp.asarray(rois), 4, 1.0 / 8.0))
+    og = np.asarray(roi_pool(jnp.asarray(feat), jnp.asarray(flat), 4, 4, 1.0 / 8.0))
+    np.testing.assert_allclose(ob.reshape(B * D, 4, 4, C), og, atol=1e-6)
+    gb = np.asarray(jax.grad(f_batched)(jnp.asarray(feat)))
+    gg = np.asarray(jax.grad(f_generic)(jnp.asarray(feat)))
+    np.testing.assert_allclose(gb, gg, atol=1e-4, rtol=1e-4)
+
+
 def _random_add_inputs(n_rows=6, C=5, P=40, seed=0):
     rng = np.random.RandomState(seed)
     pred = rng.randn(n_rows, 4 * C).astype(np.float32)
@@ -232,6 +290,61 @@ def test_vertex_targets_device_matches_numpy():
     # masks via the found bit. Compare everything.
     np.testing.assert_allclose(np.asarray(td), np.stack(refs_t), atol=1e-5)
     np.testing.assert_allclose(np.asarray(wd), np.stack(refs_w), atol=1e-6)
+
+
+def test_sparse_ce_matches_dense_hard_label_path():
+    """Fused logits CE == hard_label + log_softmax + dense CE (values+grads)."""
+    from posecnn_tpu.ops.hard_label import hard_label
+    from posecnn_tpu.ops.losses import loss_cross_entropy_hard_label_sparse
+
+    rng = np.random.RandomState(3)
+    B, H, W, C = 2, 9, 11, 6
+    score = rng.randn(B, H, W, C).astype(np.float32)
+    gt = rng.randint(0, C, (B, H, W)).astype(np.int32)
+    gt[0, :2, :] = -1  # adaptation pixels
+    for thr in (1.0, 0.7):
+        def dense(s):
+            prob = jax.nn.softmax(s, axis=-1)
+            labels = hard_label(prob, jnp.asarray(gt), thr)
+            return loss_cross_entropy_single_frame(jax.nn.log_softmax(s, axis=-1), labels)
+
+        def sparse(s):
+            return loss_cross_entropy_hard_label_sparse(s, jnp.asarray(gt), thr)
+
+        ld, gd = jax.value_and_grad(dense)(jnp.asarray(score))
+        ls, gs = jax.value_and_grad(sparse)(jnp.asarray(score))
+        np.testing.assert_allclose(float(ls), float(ld), rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(gs), np.asarray(gd), atol=1e-6)
+
+
+def test_sparse_vertex_loss_matches_dense_path():
+    """Fused targets+smooth-L1 == vertex_targets_device + dense loss (values+grads)."""
+    from posecnn_tpu.ops.vertex_targets import (
+        smooth_l1_loss_vertex_sparse,
+        vertex_targets_device,
+    )
+
+    rng = np.random.RandomState(4)
+    B, H, W, C, G = 2, 12, 16, 5, 6
+    label = rng.randint(-1, C, (B, H, W)).astype(np.int32)
+    gc = np.zeros((B, G, 4), np.float32)
+    gc[:, :3, 0] = [1, 3, 4]
+    gc[:, :3, 1] = rng.uniform(0, W, (B, 3))
+    gc[:, :3, 2] = rng.uniform(0, H, (B, 3))
+    gc[:, :3, 3] = rng.uniform(0.5, 2.0, (B, 3))
+    pred = rng.randn(B, H, W, 3 * C).astype(np.float32) * 0.1
+
+    def dense(p):
+        t, w = vertex_targets_device(jnp.asarray(label), jnp.asarray(gc), C, 10.0)
+        return smooth_l1_loss_vertex(p, t, w)
+
+    def sparse(p):
+        return smooth_l1_loss_vertex_sparse(p, jnp.asarray(label), jnp.asarray(gc), C, 10.0)
+
+    ld, gd = jax.value_and_grad(dense)(jnp.asarray(pred))
+    ls, gs = jax.value_and_grad(sparse)(jnp.asarray(pred))
+    np.testing.assert_allclose(float(ls), float(ld), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(gs), np.asarray(gd), atol=1e-6)
 
 
 def test_vertex_targets_device_adaptation_frame():
