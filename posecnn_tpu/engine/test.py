@@ -28,15 +28,23 @@ from posecnn_tpu.models.posecnn import PoseCNNConfig, posecnn_forward
 from posecnn_tpu.ops.nms import nms_np
 
 
-def make_inference_fn(model_cfg: PoseCNNConfig, pixel_means: Tuple[float, float, float]):
-    """Returns a jitted fn: (params, raw_bgr_u8 (B,H,W,3), meta (B,48)) -> outputs."""
+def make_inference_fn(
+    model_cfg: PoseCNNConfig,
+    pixel_means: Tuple[float, float, float],
+    forward_fn=None,
+):
+    """Returns a jitted fn: (params, raw_bgr_u8 (B,H,W,3), meta (B,48)) -> outputs.
+
+    forward_fn defaults to posecnn_forward; pass posecnn_full_forward (same
+    endpoint contract) to evaluate vgg16_full."""
     cfg = replace(model_cfg, is_train=False, keep_prob=1.0)
     means = jnp.asarray(pixel_means, jnp.float32).reshape(1, 1, 1, 3)
+    forward = forward_fn if forward_fn is not None else posecnn_forward
 
     @jax.jit
     def infer(params, raw_bgr, meta, extents):
         data = raw_bgr.astype(jnp.float32) - means
-        out = posecnn_forward(params, cfg, data, extents, meta)
+        out = forward(params, cfg, data, extents, meta)
         keep = {
             "label_2d": out["label_2d"],
             "prob_normalized": out["prob_normalized"],
@@ -94,11 +102,12 @@ def test_net(
     max_frames: Optional[int] = None,
     nms_threshold: float = 0.5,
     log=print,
+    forward_fn=None,
 ):
     """Per-frame evaluation loop (test.py:1154-1467 without KFusion/refine)."""
     from posecnn_tpu.utils.timer import Timer
 
-    infer = make_inference_fn(model_cfg, pixel_means)
+    infer = make_inference_fn(model_cfg, pixel_means, forward_fn=forward_fn)
     extents = jnp.asarray(dataset._extents)
     timer = Timer()
     n = dataset.num_images if max_frames is None else min(max_frames, dataset.num_images)

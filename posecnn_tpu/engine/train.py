@@ -113,23 +113,28 @@ def compute_losses(
     symmetry: jnp.ndarray,
     extents: jnp.ndarray,
     rng: jax.Array,
+    forward_fn: Optional[Callable] = None,
+    ce_threshold: Optional[float] = None,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """forward_fn defaults to the flagship posecnn_forward; pass
+    posecnn_full_forward (same endpoint dict contract) to train vgg16_full.
+    ce_threshold overrides the hard-label gate (vgg16_full hard-codes 0.7,
+    vgg16_full.py:131)."""
+    forward = forward_fn if forward_fn is not None else posecnn_forward
+    thr = model_cfg.threshold_label if ce_threshold is None else ce_threshold
     data = batch["data"]
     if data.dtype == jnp.uint8:
         # device-side preprocessing: host ships raw uint8 BGR frames
         means = jnp.asarray(hp.pixel_means, jnp.float32).reshape(1, 1, 1, 3)
         data = data.astype(jnp.float32) - means
-    out = posecnn_forward(
-        params,
-        model_cfg,
-        data,
-        extents,
-        batch["meta_data"],
+    fwd_kwargs = dict(
         gt_poses=batch.get("poses"),
         gt_label_2d=batch["gt_label_2d"],
-        data_p=batch.get("data_p"),
         rng=rng,
     )
+    if forward is posecnn_forward:
+        fwd_kwargs["data_p"] = batch.get("data_p")
+    out = forward(params, model_cfg, data, extents, batch["meta_data"], **fwd_kwargs)
     losses: Dict[str, jnp.ndarray] = {}
     loss = regularization_loss(params, hp.weight_reg)
     losses["loss_regu"] = loss
@@ -139,7 +144,7 @@ def compute_losses(
     from posecnn_tpu.ops.losses import loss_cross_entropy_hard_label_sparse
 
     loss_cls = loss_cross_entropy_hard_label_sparse(
-        out["score"], batch["gt_label_2d"], model_cfg.threshold_label
+        out["score"], batch["gt_label_2d"], thr
     )
     losses["loss_cls"] = loss_cls
     loss = loss + loss_cls
@@ -193,6 +198,8 @@ def make_train_step(
     symmetry: jnp.ndarray,
     extents: jnp.ndarray,
     donate: bool = True,
+    forward_fn: Optional[Callable] = None,
+    ce_threshold: Optional[float] = None,
 ) -> Callable:
     """Build the jitted, mesh-sharded train step.
 
@@ -206,7 +213,8 @@ def make_train_step(
         params, opt_state, step = state
         (loss, losses), grads = jax.value_and_grad(
             compute_losses, has_aux=True
-        )(params, model_cfg, hp, batch, points, symmetry, extents, rng)
+        )(params, model_cfg, hp, batch, points, symmetry, extents, rng,
+          forward_fn, ce_threshold)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         losses["lr"] = sched(step)
@@ -275,6 +283,8 @@ class Solver:
         display: int = 20,
         seed: int = 3,
         snapshot_opt_state: bool = True,
+        forward_fn=None,
+        ce_threshold=None,
     ):
         self.model_cfg = model_cfg
         self.hp = hp
@@ -289,7 +299,8 @@ class Solver:
         self.display = display
         self.rng = jax.random.PRNGKey(seed)
         self.step_fn = make_train_step(
-            model_cfg, hp, self.mesh, self.points, self.symmetry, self.extents
+            model_cfg, hp, self.mesh, self.points, self.symmetry, self.extents,
+            forward_fn=forward_fn, ce_threshold=ce_threshold,
         )
         from posecnn_tpu.core.metrics import MetricsLogger
 

@@ -39,6 +39,11 @@ def main():
 
     imdb = get_imdb(args.imdb_name)
 
+    forward_fn = None
+    if cfg.NETWORK == "VGG16FULL" or args.network_name == "vgg16_full":
+        from posecnn_tpu.models.posecnn_full import posecnn_full_forward
+
+        forward_fn = posecnn_full_forward
     if cfg.NETWORK == "VGG16DET" or args.network_name == "vgg16_det":
         from posecnn_tpu.engine.test import DetectionEvaluator, test_net_detection
         from posecnn_tpu.models.detection import DetConfig, init_vgg16_det_params
@@ -111,6 +116,7 @@ def main():
     test_net(
         params, model_cfg, imdb, cfg.pixel_means(),
         evaluator=evaluator, max_frames=args.max_frames,
+        forward_fn=forward_fn,
     )
     summary = evaluator.summary()
     out_dir = get_output_dir(imdb.name, args.network_name)

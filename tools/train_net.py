@@ -56,6 +56,19 @@ def main():
         train_det(args, cfg, imdb)
         return
 
+    # vgg16_full: dense all-scale FCN variant; same endpoint contract, its
+    # own forward fn + the hard-coded 0.7 hard-label gate (vgg16_full.py:131)
+    forward_fn = None
+    ce_threshold = None
+    if cfg.NETWORK == "VGG16FULL" or args.network_name == "vgg16_full":
+        from posecnn_tpu.models.posecnn_full import (
+            init_posecnn_full_params,
+            posecnn_full_forward,
+        )
+
+        forward_fn = posecnn_full_forward
+        ce_threshold = 0.7
+
     model_cfg = PoseCNNConfig(
         num_classes=imdb.num_classes,
         num_units=cfg.TRAIN.NUM_UNITS,
@@ -117,8 +130,18 @@ def main():
         display=cfg.TRAIN.DISPLAY,
         seed=cfg.RNG_SEED,
         snapshot_opt_state=cfg.TPU.CHECKPOINT_OPT_STATE,
+        forward_fn=forward_fn,
+        ce_threshold=ce_threshold,
     )
-    state = create_train_state(model_cfg, hp, jax.random.PRNGKey(cfg.RNG_SEED))
+    if forward_fn is not None:
+        import optax
+
+        from posecnn_tpu.engine.train import make_optimizer
+
+        params0 = init_posecnn_full_params(jax.random.PRNGKey(cfg.RNG_SEED), model_cfg)
+        state = (params0, make_optimizer(hp).init(params0), jax.numpy.asarray(0, jax.numpy.int32))
+    else:
+        state = create_train_state(model_cfg, hp, jax.random.PRNGKey(cfg.RNG_SEED))
     if args.pretrained_model:
         from posecnn_tpu.core.checkpoint import load_vgg16_npy
 
