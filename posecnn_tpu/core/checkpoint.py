@@ -1,7 +1,13 @@
 """Checkpointing and legacy weight conversion.
 
-* Orbax save/restore for train state (replaces tf.train.Saver,
-  lib/fcn/train.py:38-56), with `max_to_keep` and `<prefix>_iter_N` naming.
+* Two snapshot formats (replaces tf.train.Saver, lib/fcn/train.py:38-56),
+  both with `max_to_keep` and `<prefix>_iter_N` naming:
+  - "npz" (default): one flat .npz file written via a single device fetch
+    + atomic rename. On tunneled device platforms orbax's async machinery
+    takes ~15 min per 500 MB snapshot and can hang outright when a save
+    lands mid-dispatch; the npz path is a plain `jax.device_get` (~30 s)
+    and cannot deadlock. Single-host only.
+  - "orbax": sharded/async checkpointing for multi-host meshes.
 * `load_vgg16_npy`: Caffe-exported vgg16.npy dict -> param pytree, including
   the reference's auto-duplication into `_p`/`_d` dual towers
   (lib/networks/network.py:71-107).
@@ -24,6 +30,12 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _flatten_state(payload) -> Dict[str, np.ndarray]:
+    """Pytree -> {keypath: np.ndarray} with jax.tree_util key paths."""
+    flat, _ = jax.tree_util.tree_flatten_with_path(payload)
+    return {jax.tree_util.keystr(kp): np.asarray(leaf) for kp, leaf in flat}
+
+
 def save_checkpoint(
     directory: str,
     state,
@@ -31,22 +43,33 @@ def save_checkpoint(
     prefix: str = "posecnn",
     max_to_keep: int = 12,
     include_opt_state: bool = True,
+    fmt: str = "npz",
 ):
     """Snapshot train state. `include_opt_state=False` writes a light
     params-only checkpoint (~4x less device->host traffic — relevant on
     tunneled platforms where a 1 GB fetch can stall); `restore_checkpoint`
-    then reinitializes momentum to zeros (approximate resume)."""
-    import orbax.checkpoint as ocp
-
+    then reinitializes momentum to zeros (approximate resume). fmt: "npz"
+    (single fetch + atomic rename, single-host) or "orbax" (multi-host)."""
     os.makedirs(directory, exist_ok=True)
-    path = os.path.join(os.path.abspath(directory), f"{prefix}_iter_{step}")
-    ckptr = ocp.StandardCheckpointer()
     params, opt_state, step_arr = state
     payload = {"params": params, "step": step_arr}
     if include_opt_state:
         payload["opt_state"] = opt_state
-    ckptr.save(path, payload, force=True)
-    ckptr.wait_until_finished()
+
+    if fmt == "npz":
+        path = os.path.join(os.path.abspath(directory), f"{prefix}_iter_{step}.npz")
+        tmp = path + ".tmp"
+        arrays = _flatten_state(jax.device_get(payload))
+        with open(tmp, "wb") as f:
+            np.savez(f, **arrays)
+        os.replace(tmp, path)  # atomic: readers never see partial writes
+    else:
+        import orbax.checkpoint as ocp
+
+        path = os.path.join(os.path.abspath(directory), f"{prefix}_iter_{step}")
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(path, payload, force=True)
+        ckptr.wait_until_finished()
     _prune_old(directory, prefix, max_to_keep)
     return path
 
@@ -59,16 +82,34 @@ def _prune_old(directory: str, prefix: str, max_to_keep: int):
 
             shutil.rmtree(os.path.join(directory, name), ignore_errors=True)
             continue
+        if name.endswith(".npz.tmp"):
+            try:
+                os.remove(os.path.join(directory, name))
+            except OSError:
+                pass
+            continue
         if name.startswith(prefix + "_iter_"):
             try:
-                entries.append((int(name.rsplit("_", 1)[1]), name))
+                entries.append((_step_of(name), name))
             except ValueError:
                 continue
     entries.sort()
     for _, name in entries[:-max_to_keep]:
-        import shutil
+        full = os.path.join(directory, name)
+        if os.path.isdir(full):
+            import shutil
 
-        shutil.rmtree(os.path.join(directory, name), ignore_errors=True)
+            shutil.rmtree(full, ignore_errors=True)
+        else:
+            try:
+                os.remove(full)
+            except OSError:
+                pass
+
+
+def _step_of(name: str) -> int:
+    stem = name[:-4] if name.endswith(".npz") else name
+    return int(stem.rsplit("_", 1)[1])
 
 
 def latest_checkpoint(directory: str, prefix: str = "posecnn") -> Optional[str]:
@@ -76,9 +117,9 @@ def latest_checkpoint(directory: str, prefix: str = "posecnn") -> Optional[str]:
         return None
     best, path = -1, None
     for name in os.listdir(directory):
-        if name.startswith(prefix + "_iter_"):
+        if name.startswith(prefix + "_iter_") and not name.endswith(".tmp"):
             try:
-                step = int(name.rsplit("_", 1)[1])
+                step = _step_of(name)
             except ValueError:
                 continue
             if step > best:
@@ -87,9 +128,25 @@ def latest_checkpoint(directory: str, prefix: str = "posecnn") -> Optional[str]:
 
 
 def restore_checkpoint(path: str, target_state):
+    params, opt_state, step_arr = target_state
+    if path.endswith(".npz"):
+        data = np.load(path)
+        payload = {"params": params, "step": step_arr, "opt_state": opt_state}
+        flat, treedef = jax.tree_util.tree_flatten_with_path(payload)
+        have_opt = any(jax.tree_util.keystr(kp).startswith("[\'opt_state\']") for kp, _ in flat if jax.tree_util.keystr(kp) in data)
+        out = []
+        for kp, leaf in flat:
+            key = jax.tree_util.keystr(kp)
+            if key in data:
+                out.append(jnp.asarray(data[key], dtype=leaf.dtype))
+            else:
+                # light checkpoint: keep fresh optimizer state
+                out.append(leaf)
+        restored = jax.tree_util.tree_unflatten(treedef, out)
+        return (restored["params"], restored["opt_state"], restored["step"])
+
     import orbax.checkpoint as ocp
 
-    params, opt_state, step_arr = target_state
     ckptr = ocp.StandardCheckpointer()
     path = os.path.abspath(path)
     # light (params-only) checkpoints restore with fresh optimizer state:

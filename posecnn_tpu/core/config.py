@@ -180,6 +180,9 @@ class TPUConfig:
     # include optimizer state in snapshots (False = light params-only
     # checkpoints, 4x less device->host traffic; resume reinits momentum)
     CHECKPOINT_OPT_STATE: bool = True
+    # "npz": single-fetch atomic snapshot (single-host; robust on tunneled
+    # platforms where orbax async saves stall); "orbax": multi-host sharded
+    CHECKPOINT_FORMAT: str = "npz"
     # build vertex targets + mean subtraction inside the train step's jit
     # graph (host ships uint8 frames + a small GT table instead of the
     # 162 MB/batch float target blob) — see ops/vertex_targets.py

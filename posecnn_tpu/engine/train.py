@@ -285,6 +285,7 @@ class Solver:
         snapshot_opt_state: bool = True,
         forward_fn=None,
         ce_threshold=None,
+        snapshot_format: str = "npz",
     ):
         self.model_cfg = model_cfg
         self.hp = hp
@@ -296,6 +297,7 @@ class Solver:
         self.snapshot_iters = snapshot_iters
         self.snapshot_prefix = snapshot_prefix
         self.snapshot_opt_state = snapshot_opt_state
+        self.snapshot_format = snapshot_format
         self.display = display
         self.rng = jax.random.PRNGKey(seed)
         self.step_fn = make_train_step(
@@ -404,6 +406,7 @@ class Solver:
         save_checkpoint(
             self.output_dir, state, step=it, prefix=self.snapshot_prefix,
             include_opt_state=self.snapshot_opt_state,
+            fmt=self.snapshot_format,
         )
 
 

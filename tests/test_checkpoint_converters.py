@@ -69,3 +69,43 @@ def test_tf1_checkpoint_converter_roundtrip(tmp_path):
     np.testing.assert_allclose(np.asarray(merged["conv1_1"]["biases"]), b)
     # momentum slot must NOT have been written anywhere
     assert not np.allclose(np.asarray(merged["conv1_1"]["weights"]), 9.0)
+
+
+def test_npz_and_orbax_checkpoint_formats(tmp_path):
+    """Both snapshot formats round-trip; npz light checkpoints keep fresh
+    optimizer state; latest_checkpoint sees both layouts."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from posecnn_tpu.core.checkpoint import (
+        latest_checkpoint,
+        restore_checkpoint,
+        save_checkpoint,
+    )
+
+    params = {"conv": {"weights": jnp.arange(6.0).reshape(2, 3), "biases": jnp.ones(3)}}
+    opt = {"trace": {"conv": {"weights": jnp.zeros((2, 3)), "biases": jnp.zeros(3)}}}
+    state = (params, opt, jnp.asarray(7, jnp.int32))
+
+    p1 = save_checkpoint(str(tmp_path), state, step=10, prefix="t", fmt="npz")
+    assert p1.endswith(".npz")
+    fresh = (
+        {"conv": {"weights": jnp.zeros((2, 3)), "biases": jnp.zeros(3)}},
+        {"trace": {"conv": {"weights": jnp.full((2, 3), 5.0), "biases": jnp.zeros(3)}}},
+        jnp.asarray(0, jnp.int32),
+    )
+    r = restore_checkpoint(p1, fresh)
+    np.testing.assert_allclose(np.asarray(r[0]["conv"]["weights"]), np.arange(6.0).reshape(2, 3))
+    assert int(r[2]) == 7
+
+    # light npz: opt_state absent -> fresh optimizer state preserved
+    p2 = save_checkpoint(str(tmp_path), state, step=20, prefix="t", fmt="npz", include_opt_state=False)
+    r2 = restore_checkpoint(p2, fresh)
+    np.testing.assert_allclose(np.asarray(r2[1]["trace"]["conv"]["weights"]), 5.0)
+
+    assert latest_checkpoint(str(tmp_path), prefix="t").endswith("t_iter_20.npz")
+
+    p3 = save_checkpoint(str(tmp_path), state, step=30, prefix="t", fmt="orbax")
+    r3 = restore_checkpoint(p3, fresh)
+    np.testing.assert_allclose(np.asarray(r3[0]["conv"]["biases"]), 1.0)
+    assert latest_checkpoint(str(tmp_path), prefix="t").rstrip("/").endswith("t_iter_30")

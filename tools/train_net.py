@@ -132,6 +132,7 @@ def main():
         snapshot_opt_state=cfg.TPU.CHECKPOINT_OPT_STATE,
         forward_fn=forward_fn,
         ce_threshold=ce_threshold,
+        snapshot_format=cfg.TPU.CHECKPOINT_FORMAT,
     )
     if forward_fn is not None:
         import optax
