@@ -37,6 +37,12 @@ class TrainConfig:
     VERTEX_W: float = 5.0
     VERTEX_W_INSIDE: float = 10.0
     POSE_W: float = 1.0
+    # ADD-loss hinge margin on *squared* distance (vgg16_convs.py:194 passes
+    # 0.01 — a (10 cm)^2 dead zone that nearly disables the pose gradient;
+    # set ~1e-4 for a (1 cm)^2 hinge that actually trains the pose head)
+    POSE_MARGIN: float = 0.01
+    # normalize ADD loss by valid hough rows, not padded slots (TPU-only knob)
+    POSE_NORM_VALID: bool = False
     THRESHOLD_LABEL: float = 1.0
     VOTING_THRESHOLD: float = -1.0
     VISUALIZE: bool = False

@@ -86,7 +86,13 @@ class GtSynthesizeLayer:
         frames: List[Frame] = []
         if source == "real":
             for i in self.stream.next(self.ims_per_batch):
-                frames.append(self.dataset.load_frame(int(i)))
+                fr = self.dataset.load_frame(int(i))
+                # honor flip-augmentation roidb entries (USE_FLIPPED /
+                # append_flipped_images); get_minibatch mirrors the frame
+                rdb = getattr(self.dataset, "_roidb", None)
+                if rdb is not None and rdb[int(i)].get("flipped"):
+                    fr.flipped = True
+                frames.append(fr)
         elif source == "syn":
             for _ in range(self.ims_per_batch):
                 fr = self.syn_frames(self._iter, self.rng)

@@ -94,6 +94,12 @@ class linemod(imdb):
         """ADD correctness threshold: 0.1 x object diameter (linemod.py:411)."""
         return 0.1 * self._diameter
 
+    @property
+    def diameters(self) -> np.ndarray:
+        """Per-class-index diameters for the evaluator's 0.1 x diameter
+        thresholds (linemod.py:411-413)."""
+        return np.array([0.0, self._diameter], dtype=np.float64)
+
     def image_path_at(self, i):
         return os.path.join(self._data_path, self._image_index[i] + "-color" + self._image_ext)
 

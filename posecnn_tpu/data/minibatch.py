@@ -40,8 +40,14 @@ class Frame:
     factor_depth: float = 1000.0
     is_synthetic: bool = False        # composite over a random background
     is_adaptation: bool = False       # no labels: label blob = -1
-    mask: Optional[np.ndarray] = None  # instance mask for multi-instance
+    # instance mask for multi-instance frames: pixel value = instance slot
+    # j+1 for poses[:, :, j] (the reference reads an analogous mask image,
+    # minibatch.py:425-432)
+    mask: Optional[np.ndarray] = None
     flipped: bool = False
+    # per-pixel 3D object coordinates in the model frame (H,W,3), required
+    # for VERTEX_REG_3D targets (reference meta_data['vertmap'])
+    vertmap: Optional[np.ndarray] = None
 
 
 @dataclass
@@ -53,15 +59,58 @@ class MinibatchConfig:
     chromatic: bool = True
     add_noise: bool = False
     vertex_reg: bool = True
+    # 3D object-coordinate targets instead of 2D center voting (VERTEX_REG_3D;
+    # requires Frame.vertmap)
+    vertex_reg_3d: bool = False
     vertex_w_inside: float = 10.0
     max_gt: int = 24
     scale: float = 1.0
     is_symmetric: bool = True
+    # COLOR | DEPTH | RGBD | NORMAL (reference cfg.INPUT, _get_image_blob
+    # minibatch.py:155-239): DEPTH/NORMAL replace the color input with the
+    # normalized-depth / normal-map image; RGBD additionally ships `data_p`
+    # for the dual tower
+    input_format: str = "COLOR"
     # TPU fast path: ship uint8 frames + a small (G,4) GT-center table and
     # build the mean-subtracted input and the (B,H,W,3C) vertex targets
     # inside the train step's jit graph (ops/vertex_targets.py). This host
     # otherwise spends seconds per batch on the 162 MB target blob.
     device_targets: bool = False
+
+
+def scale_vertmap(vertmap: np.ndarray, index, extents: np.ndarray) -> np.ndarray:
+    """Normalize 3D object coordinates to [0,1] per axis by the class extent
+    (reference `_scale_vertmap`, minibatch.py:605-617). `index` = (ys, xs)."""
+    out = np.zeros((len(index[0]), 3), dtype=np.float32)
+    for i in range(3):
+        vmin, vmax = -extents[i] / 2.0, extents[i] / 2.0
+        if vmax - vmin > 0:
+            a = 1.0 / (vmax - vmin)
+            b = -vmin / (vmax - vmin)
+        else:
+            a = b = 0.0
+        out[:, i] = a * vertmap[index[0], index[1], i] + b
+    return out
+
+
+def unscale_vertmap(scaled: np.ndarray, cls_index: int, extents: np.ndarray) -> np.ndarray:
+    """Invert `scale_vertmap` for one class: [0,1]^3 -> model coordinates."""
+    out = np.zeros_like(scaled, dtype=np.float32)
+    for i in range(3):
+        vmin, vmax = -extents[cls_index, i] / 2.0, extents[cls_index, i] / 2.0
+        out[..., i] = scaled[..., i] * (vmax - vmin) + vmin
+    return out
+
+
+def _write_targets_2d(targets, weights, y, x, cx, cy, z, cls, w_inside):
+    c = np.array([[cx], [cy]], dtype=np.float32)
+    R = np.tile(c, (1, len(x))) - np.vstack((x, y))
+    N = np.linalg.norm(R, axis=0) + 1e-10
+    R = R / np.tile(N, (2, 1))
+    targets[y, x, 3 * cls + 0] = R[0, :]
+    targets[y, x, 3 * cls + 1] = R[1, :]
+    targets[y, x, 3 * cls + 2] = math.log(z)
+    weights[y, x, 3 * cls : 3 * cls + 3] = w_inside
 
 
 def generate_vertex_targets(
@@ -71,27 +120,141 @@ def generate_vertex_targets(
     poses: np.ndarray,
     num_classes: int,
     vertex_weights_value: float = 10.0,
+    mask: Optional[np.ndarray] = None,
+    vertmap: Optional[np.ndarray] = None,
+    extents: Optional[np.ndarray] = None,
+    vertex_reg_3d: bool = False,
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Per-pixel (unit dir to center, log z) targets (minibatch.py:577-602)."""
+    """Per-pixel regression targets (minibatch.py:543-602).
+
+    2D mode: unit direction to the instance's projected center + log z in the
+    3 channels of the pixel's class. 3D mode: extent-normalized object
+    coordinates from `vertmap` (`_scale_vertmap`, minibatch.py:596-597).
+
+    Multi-instance (several objects of one class): pixels are routed to their
+    own instance via `mask` (pixel value = instance slot + 1, the reference's
+    mask image, minibatch.py:549-574); without a mask the first instance of
+    each class wins (reference single-instance branch).
+    """
     height, width = im_label.shape
     targets = np.zeros((height, width, 3 * num_classes), dtype=np.float32)
     weights = np.zeros((height, width, 3 * num_classes), dtype=np.float32)
-    c = np.zeros((2, 1), dtype=np.float32)
-    for i in range(1, num_classes):
-        y, x = np.where(im_label == i)
-        ind = np.where(cls_indexes == i)[0]
-        if len(x) > 0 and len(ind) > 0:
-            c[0] = centers[ind[0], 0]
-            c[1] = centers[ind[0], 1]
-            z = poses[2, 3, ind[0]]
-            R = np.tile(c, (1, len(x))) - np.vstack((x, y))
-            N = np.linalg.norm(R, axis=0) + 1e-10
-            R = R / np.tile(N, (2, 1))
-            targets[y, x, 3 * i + 0] = R[0, :]
-            targets[y, x, 3 * i + 1] = R[1, :]
-            targets[y, x, 3 * i + 2] = math.log(z)
-            weights[y, x, 3 * i : 3 * i + 3] = vertex_weights_value
+    multi = mask is not None and len(np.unique(cls_indexes)) < len(cls_indexes)
+    if multi:
+        for j in range(len(cls_indexes)):
+            cls = int(cls_indexes[j])
+            if cls <= 0 or cls >= num_classes:
+                continue
+            sel = (mask == j + 1) & (im_label == cls)
+            y, x = np.where(sel)
+            if len(x) == 0:
+                continue
+            if vertex_reg_3d:
+                targets[y, x, 3 * cls : 3 * cls + 3] = scale_vertmap(
+                    vertmap, (y, x), extents[cls, :]
+                )
+                weights[y, x, 3 * cls : 3 * cls + 3] = vertex_weights_value
+            else:
+                _write_targets_2d(
+                    targets, weights, y, x, centers[j, 0], centers[j, 1],
+                    poses[2, 3, j], cls, vertex_weights_value,
+                )
+    else:
+        for i in range(1, num_classes):
+            y, x = np.where(im_label == i)
+            ind = np.where(cls_indexes == i)[0]
+            if len(x) > 0 and len(ind) > 0:
+                if vertex_reg_3d:
+                    targets[y, x, 3 * i : 3 * i + 3] = scale_vertmap(
+                        vertmap, (y, x), extents[i, :]
+                    )
+                    weights[y, x, 3 * i : 3 * i + 3] = vertex_weights_value
+                else:
+                    _write_targets_2d(
+                        targets, weights, y, x, centers[ind[0], 0],
+                        centers[ind[0], 1], poses[2, 3, ind[0]], i,
+                        vertex_weights_value,
+                    )
     return targets, weights
+
+
+def flip_poses(poses: np.ndarray, K: np.ndarray, width: int) -> np.ndarray:
+    """Mirror object poses for a horizontally flipped image
+    (reference `_flip_poses`, minibatch.py:528-539): with K1 = K after
+    fx -> -fx, cx -> width - cx, the flipped pose is K^-1 K1 [R|t]."""
+    K = np.asarray(K, np.float64)
+    K1 = K.copy()
+    K1[0, 0] = -K1[0, 0]
+    K1[0, 2] = width - K1[0, 2]
+    A = np.linalg.inv(K) @ K1
+    out = poses.copy()
+    for j in range(poses.shape[2]):
+        out[:, :, j] = A @ poses[:, :, j]
+    return out
+
+
+def flip_frame(fr: Frame) -> Frame:
+    """Apply horizontal-flip augmentation to a frame (image/label/depth/mask/
+    vertmap mirrored, centers x -> width - x, poses via `flip_poses`;
+    reference minibatch.py:177,347,414-421,495)."""
+    from dataclasses import replace
+
+    width = fr.color.shape[1]
+    center = fr.center.copy()
+    center[:, 0] = width - center[:, 0]
+    return replace(
+        fr,
+        color=np.ascontiguousarray(fr.color[:, ::-1]),
+        label=np.ascontiguousarray(fr.label[:, ::-1]),
+        depth=np.ascontiguousarray(fr.depth[:, ::-1]) if fr.depth is not None else None,
+        mask=np.ascontiguousarray(fr.mask[:, ::-1]) if fr.mask is not None else None,
+        vertmap=np.ascontiguousarray(fr.vertmap[:, ::-1]) if fr.vertmap is not None else None,
+        center=center,
+        poses=flip_poses(fr.poses, fr.intrinsic_matrix, width),
+        flipped=False,  # consumed
+    )
+
+
+def depth_input_image(depth: np.ndarray) -> np.ndarray:
+    """Depth -> 3-channel uint8-scale image: depth / max * 255, tiled
+    (reference minibatch.py:188-190)."""
+    d = depth.astype(np.float32)
+    m = float(d.max())
+    if m > 0:
+        d = d / m * 255.0
+    return np.tile(d[:, :, None], (1, 1, 3))
+
+
+def normals_np(depth_m: np.ndarray, K: np.ndarray, depth_cutoff: float = 20.0) -> np.ndarray:
+    """Host twin of ops/normals.compute_normals (NumPy; the data-loader
+    thread must not dispatch to the accelerator)."""
+    h, w = depth_m.shape
+    fx, fy, px, py = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
+    x = np.arange(w, dtype=np.float32)[None, :]
+    y = np.arange(h, dtype=np.float32)[:, None]
+    pts = np.stack(
+        [(x - px) / fx * depth_m, (y - py) / fy * depth_m, depth_m], axis=-1
+    )
+    dx = np.gradient(pts, axis=1)
+    dy = np.gradient(pts, axis=0)
+    n = np.cross(dy, dx)
+    norm = np.linalg.norm(n, axis=-1, keepdims=True)
+    n = n / np.maximum(norm, 1e-8)
+    flip = np.sum(n * pts, axis=-1, keepdims=True) > 0
+    n = np.where(flip, -n, n)
+    valid = (depth_m > 0) & (depth_m < depth_cutoff)
+    return np.where(valid[..., None], n, 0.0).astype(np.float32)
+
+
+def normal_input_image(depth: np.ndarray, factor_depth: float, K: np.ndarray) -> np.ndarray:
+    """Depth -> normal-map input image (reference minibatch.py:204-216):
+    normals in [-1,1] -> 127.5*n + 127.5, BGR channel order, bilateral
+    smoothing."""
+    nmap = normals_np(depth.astype(np.float32) / float(factor_depth), K)
+    im = (127.5 * nmap + 127.5).astype(np.uint8)
+    im = im[:, :, (2, 1, 0)]
+    im = cv2.bilateralFilter(im, 9, 75, 75)
+    return im.astype(np.float32)
 
 
 def composite_background(color: np.ndarray, label: np.ndarray, background: np.ndarray) -> np.ndarray:
@@ -156,10 +319,23 @@ def get_minibatch(
     """Assemble the device batch dict with fixed shapes."""
     rng = rng or np.random.RandomState()
     C = mcfg.num_classes
-    ims, labels, metas, vtargets, vweights, center_rows = [], [], [], [], [], []
+    ims, ims_p, labels, metas, vtargets, vweights, center_rows = [], [], [], [], [], [], []
+    vt3, vw3 = [], []
     pose_blob = np.zeros((0, 13), dtype=np.float32)
+    want_depth_input = mcfg.input_format in ("DEPTH", "RGBD")
+    want_normal_input = mcfg.input_format == "NORMAL"
+
+    def _finish(im):
+        """uint8 on the device-targets fast path, mean-subtracted float else."""
+        if mcfg.device_targets:
+            return np.ascontiguousarray(
+                np.clip(np.round(im[..., :3]), 0, 255)
+            ).astype(np.uint8)
+        return im[..., :3].astype(np.float32) - mcfg.pixel_means
 
     for i, fr in enumerate(frames):
+        if fr.flipped:
+            fr = flip_frame(fr)
         im = pad_im(fr.color, 16)
         label = pad_im(fr.label.astype(np.int32), 16)
         if fr.is_synthetic and backgrounds:
@@ -169,11 +345,20 @@ def get_minibatch(
             im = chromatic_transform(im, rng=rng)
         if mcfg.add_noise:
             im = add_noise(im, rng=rng)
-        if mcfg.device_targets:
-            ims.append(np.ascontiguousarray(im[..., :3]).astype(np.uint8))
-        else:
-            im = im.astype(np.float32) - mcfg.pixel_means
-            ims.append(im)
+
+        if want_depth_input or want_normal_input:
+            depth_raw = pad_im(fr.depth, 16)
+            if want_depth_input:
+                im_d = depth_input_image(depth_raw)
+                if mcfg.add_noise:
+                    im_d = add_noise(im_d, rng=rng)
+                if mcfg.input_format == "DEPTH":
+                    im = im_d  # depth replaces the color input
+                else:
+                    ims_p.append(_finish(im_d))
+            else:
+                im = normal_input_image(depth_raw, fr.factor_depth, fr.intrinsic_matrix)
+        ims.append(_finish(im))
         metas.append(build_meta_data(fr.intrinsic_matrix, mcfg.scale))
 
         if fr.is_adaptation:
@@ -182,19 +367,42 @@ def get_minibatch(
             if not mcfg.device_targets:
                 vtargets.append(np.zeros(label.shape + (3 * C,), dtype=np.float32))
                 vweights.append(np.zeros(label.shape + (3 * C,), dtype=np.float32))
+            elif mcfg.vertex_reg_3d:
+                vt3.append(np.zeros(label.shape + (3,), dtype=np.float32))
+                vw3.append(np.zeros(label.shape, dtype=np.float32))
             continue
         labels.append(label)
         if mcfg.vertex_reg:
-            if mcfg.device_targets:
+            mask = pad_im(fr.mask, 16) if fr.mask is not None else None
+            vertmap = pad_im(fr.vertmap, 16) if fr.vertmap is not None else None
+            if mcfg.device_targets and not mcfg.vertex_reg_3d:
+                # fast path: ship the (G,4) center table; the in-graph
+                # generator routes multi-instance pixels to the nearest
+                # same-class center (mask-free approximation)
                 n_inst = fr.poses.shape[2]
                 rows = np.zeros((n_inst, 4), np.float32)
                 rows[:, 0] = fr.cls_indexes[:n_inst]
                 rows[:, 1:3] = fr.center[:n_inst]
                 rows[:, 3] = fr.poses[2, 3, :n_inst]
                 center_rows.append(rows)
+            elif mcfg.device_targets and mcfg.vertex_reg_3d:
+                # compact 3D path: (H,W,3) scaled object coordinates + a
+                # (H,W) weight mask; the dense (H,W,3C) blob is expanded
+                # in-graph (ops/vertex_targets.smooth_l1_loss_vertex_sparse3d)
+                t, w = generate_vertex_targets(
+                    label, fr.cls_indexes, fr.center, fr.poses, C,
+                    mcfg.vertex_w_inside, mask=mask, vertmap=vertmap,
+                    extents=extents, vertex_reg_3d=True,
+                )
+                lab_safe = np.clip(label, 0, C - 1)
+                idx = (3 * lab_safe[..., None] + np.arange(3)).reshape(*label.shape, 3)
+                vt3.append(np.take_along_axis(t, idx, axis=2))
+                vw3.append(np.take_along_axis(w, idx[..., :1], axis=2)[..., 0])
             else:
                 t, w = generate_vertex_targets(
-                    label, fr.cls_indexes, fr.center, fr.poses, C, mcfg.vertex_w_inside
+                    label, fr.cls_indexes, fr.center, fr.poses, C,
+                    mcfg.vertex_w_inside, mask=mask, vertmap=vertmap,
+                    extents=extents, vertex_reg_3d=mcfg.vertex_reg_3d,
                 )
                 vtargets.append(t)
                 vweights.append(w)
@@ -211,8 +419,13 @@ def get_minibatch(
         "meta_data": np.stack(metas).astype(np.float32),
         "poses": gt,
     }
+    if ims_p:
+        batch["data_p"] = np.stack(ims_p) if mcfg.device_targets else np.stack(ims_p).astype(np.float32)
     if mcfg.vertex_reg:
-        if mcfg.device_targets:
+        if mcfg.device_targets and mcfg.vertex_reg_3d:
+            batch["vertex_targets3"] = np.stack(vt3)
+            batch["vertex_weights3"] = np.stack(vw3)
+        elif mcfg.device_targets:
             G = mcfg.max_gt
             gc = np.zeros((len(frames), G, 4), np.float32)
             for i, rows in enumerate(center_rows):

@@ -93,6 +93,56 @@ def postprocess_detections(
     return rois, poses
 
 
+MAX_REFINE_DETS = 32  # static row cap for the jitted per-frame ICP call
+
+
+@functools.partial(jax.jit, static_argnames=("iters", "max_points"))
+def _refine_jit(rois, poses, depth_m, label, points_all, meta, iters=20, max_points=512):
+    from posecnn_tpu.engine.refine import icp_refine_detections
+
+    return icp_refine_detections(
+        rois, poses, depth_m, label, points_all, meta,
+        iters=iters, max_points=max_points,
+    )
+
+
+def refine_poses(rois, poses, depth_m, label, points_all, meta, max_det: int = MAX_REFINE_DETS):
+    """Host wrapper: pad the post-NMS detections to a static row count, run
+    the vmapped Gauss-Newton ICP in one jit call, return (poses_refined,
+    poses_icp). poses_refined is the cheap depth-median translation fix (the
+    reference's 'poses_new'); poses_icp is the full ICP result
+    (lib/fcn/test.py:1335-1351 -> synthesize.cpp:2052-2200)."""
+    from posecnn_tpu.engine.refine import refine_translation, sample_object_cloud
+
+    R = rois.shape[0]
+    k = min(R, max_det)
+    rois_p = np.zeros((max_det, rois.shape[1]), np.float32)
+    poses_p = np.zeros((max_det, 7), np.float32)
+    poses_p[:, 0] = 1.0  # identity quat for padding rows
+    rois_p[:k] = rois[:k]
+    poses_p[:k] = poses[:k, :7]
+    refined = np.asarray(
+        _refine_jit(
+            jnp.asarray(rois_p), jnp.asarray(poses_p), jnp.asarray(depth_m),
+            jnp.asarray(label), points_all, jnp.asarray(meta),
+        )
+    )[:k]
+    # translation-only refinement for the poses_new column
+    fx, px, fy, py = meta[0], meta[2], meta[4], meta[5]
+    poses_new = poses.copy()
+    for j in range(k):
+        cls = int(rois[j, 1])
+        tgt, tv = sample_object_cloud(
+            jnp.asarray(depth_m), jnp.asarray(label), cls, fx, fy, px, py, 512
+        )
+        poses_new[j, 4:7] = np.asarray(
+            refine_translation(jnp.asarray(poses[j, :4]), jnp.asarray(poses[j, 4:7]), tgt, tv)
+        )
+    poses_icp = poses.copy()
+    poses_icp[:k, :7] = refined
+    return poses_new, poses_icp
+
+
 def test_net(
     params,
     model_cfg: PoseCNNConfig,
@@ -103,35 +153,79 @@ def test_net(
     nms_threshold: float = 0.5,
     log=print,
     forward_fn=None,
+    pose_refine: bool = False,
+    im_scale: float = 1.0,
+    visualizer=None,
 ):
-    """Per-frame evaluation loop (test.py:1154-1467 without KFusion/refine)."""
+    """Per-frame evaluation loop (test.py:1154-1467).
+
+    pose_refine: honor TEST.POSE_REFINE — load depth and run the JAX ICP
+    refiner after NMS (reference runs synthesizer.icp_python,
+    lib/fcn/test.py:1335-1351). im_scale: TEST.SCALES_BASE input rescale
+    (test.py:113-151). visualizer: callable(frame_index, frame, out, rois,
+    poses) for prediction rendering (TEST.VISUALIZE)."""
+    import cv2
+
     from posecnn_tpu.utils.timer import Timer
 
     infer = make_inference_fn(model_cfg, pixel_means, forward_fn=forward_fn)
     extents = jnp.asarray(dataset._extents)
+    points_all = jnp.asarray(np.asarray(dataset._points_all, np.float32))
     timer = Timer()
     n = dataset.num_images if max_frames is None else min(max_frames, dataset.num_images)
     results = []
     for i in range(n):
         frame = dataset.load_frame(i)
-        raw = jnp.asarray(frame.color[None])
+        color = frame.color
+        if im_scale != 1.0:
+            color = cv2.resize(
+                color, None, None, fx=im_scale, fy=im_scale, interpolation=cv2.INTER_LINEAR
+            )
+        raw = jnp.asarray(color[None])
         from posecnn_tpu.data.minibatch import build_meta_data
 
-        meta = jnp.asarray(build_meta_data(frame.intrinsic_matrix)[None])
+        meta_np = build_meta_data(frame.intrinsic_matrix, im_scale)
+        meta = jnp.asarray(meta_np[None])
         timer.tic()
         out = jax.device_get(infer(params, raw, meta, extents))
         timer.toc(average=False)
         rois, poses = postprocess_detections(out, nms_threshold)
-        results.append({"rois": rois, "poses": poses})
+        label_pred = out["label_2d"][0]
+        if im_scale != 1.0:
+            # predictions live in scaled-image coordinates: bring the label
+            # map and boxes back to the dataset frame for evaluation
+            label_pred = cv2.resize(
+                label_pred.astype(np.int32), (frame.color.shape[1], frame.color.shape[0]),
+                interpolation=cv2.INTER_NEAREST,
+            )
+            if rois.shape[0]:
+                rois = rois.copy()
+                rois[:, 2:6] /= im_scale
+        poses_refined = poses_icp = None
+        if pose_refine and frame.depth is not None and rois.shape[0]:
+            depth_m = frame.depth.astype(np.float32) / float(frame.factor_depth)
+            meta_icp = build_meta_data(frame.intrinsic_matrix)  # unscaled K
+            poses_refined, poses_icp = refine_poses(
+                rois, poses, depth_m, label_pred, points_all, meta_icp
+            )
+        results.append({
+            "rois": rois, "poses": poses,
+            "poses_refined": poses_refined, "poses_icp": poses_icp,
+        })
         if evaluator is not None:
             evaluator.add_frame(
-                out["label_2d"][0],
+                label_pred,
                 frame.label,
                 rois=rois,
                 poses=poses,
                 gt_poses=frame.poses,
                 gt_cls_indexes=frame.cls_indexes,
+                poses_refined=poses_refined,
+                poses_icp=poses_icp,
+                intrinsic_matrix=np.asarray(frame.intrinsic_matrix, np.float64),
             )
+        if visualizer is not None:
+            visualizer(i, frame, out, rois, poses_icp if poses_icp is not None else poses)
         if log and (i + 1) % 50 == 0:
             log(f"frame {i + 1}/{n} {timer.diff:.3f}s")
     if evaluator is not None and log:

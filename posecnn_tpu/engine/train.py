@@ -65,7 +65,16 @@ class TrainHParams:
     vertex_w: float = 5.0
     pose_w: float = 1.0
     adapt_weight: float = 0.1
-    margin: float = 0.01  # ADD loss hinge (vgg16_convs.py:194)
+    # ADD loss hinge (vgg16_convs.py:194). NOTE the reference hinges on the
+    # *squared* distance, so 0.01 is a (10 cm)^2 dead zone — larger than most
+    # YCB objects' span, leaving almost no pose gradient. Kept as the parity
+    # default; training configs that want a learning pose head set
+    # TRAIN.POSE_MARGIN to ~1e-4 ((1 cm)^2).
+    margin: float = 0.01
+    # normalize the ADD loss by the number of *valid* hough rows instead of
+    # the padded slot count (the reference divides by its dynamic ROI count;
+    # our fixed-shape row padding otherwise attenuates the loss ~1.6x)
+    pose_norm_valid: bool = False
     vertex_w_inside: float = 10.0  # fg weight in vertex targets (minibatch.py:577)
     # global-norm gradient clipping; 0 = off (reference parity). From-scratch
     # VGG training (no ImageNet init) diverges within ~20 iters without it.
@@ -123,9 +132,9 @@ def compute_losses(
     forward = forward_fn if forward_fn is not None else posecnn_forward
     thr = model_cfg.threshold_label if ce_threshold is None else ce_threshold
     data = batch["data"]
+    means = jnp.asarray(hp.pixel_means, jnp.float32).reshape(1, 1, 1, 3)
     if data.dtype == jnp.uint8:
         # device-side preprocessing: host ships raw uint8 BGR frames
-        means = jnp.asarray(hp.pixel_means, jnp.float32).reshape(1, 1, 1, 3)
         data = data.astype(jnp.float32) - means
     fwd_kwargs = dict(
         gt_poses=batch.get("poses"),
@@ -133,7 +142,10 @@ def compute_losses(
         rng=rng,
     )
     if forward is posecnn_forward:
-        fwd_kwargs["data_p"] = batch.get("data_p")
+        data_p = batch.get("data_p")
+        if data_p is not None and data_p.dtype == jnp.uint8:
+            data_p = data_p.astype(jnp.float32) - means
+        fwd_kwargs["data_p"] = data_p
     out = forward(params, model_cfg, data, extents, batch["meta_data"], **fwd_kwargs)
     losses: Dict[str, jnp.ndarray] = {}
     loss = regularization_loss(params, hp.weight_reg)
@@ -150,7 +162,16 @@ def compute_losses(
     loss = loss + loss_cls
 
     if model_cfg.vertex_reg:
-        if "vertex_targets" in batch:
+        if "vertex_targets3" in batch:
+            # compact VERTEX_REG_3D targets (scaled object coordinates)
+            from posecnn_tpu.ops.vertex_targets import smooth_l1_loss_vertex_sparse3d
+
+            loss_vertex = hp.vertex_w * smooth_l1_loss_vertex_sparse3d(
+                out["vertex_pred"], batch["gt_label_2d"],
+                batch["vertex_targets3"], batch["vertex_weights3"],
+                model_cfg.num_classes,
+            )
+        elif "vertex_targets" in batch:
             vtargets, vweights = batch["vertex_targets"], batch["vertex_weights"]
             loss_vertex = hp.vertex_w * smooth_l1_loss_vertex(
                 out["vertex_pred"], vtargets, vweights
@@ -168,7 +189,7 @@ def compute_losses(
         loss = loss + loss_vertex
 
         if model_cfg.pose_reg:
-            loss_pose = hp.pose_w * average_distance_loss(
+            loss_pose = average_distance_loss(
                 out["poses_pred"],
                 out["poses_target"],
                 out["poses_weight"],
@@ -176,6 +197,13 @@ def compute_losses(
                 symmetry,
                 hp.margin,
             )
+            if hp.pose_norm_valid:
+                n_rows = out["poses_pred"].shape[0]
+                n_valid = jnp.maximum(
+                    jnp.sum(out["rois_valid"].astype(jnp.float32)), 1.0
+                )
+                loss_pose = loss_pose * (n_rows / n_valid)
+            loss_pose = hp.pose_w * loss_pose
             losses["loss_pose"] = loss_pose
             loss = loss + loss_pose
 
@@ -227,7 +255,7 @@ def make_train_step(
         out = {}
         for k, v in batch.items():
             # per-image arrays shard over data; global blobs replicate
-            if k in ("data", "data_p", "gt_label_2d", "vertex_targets", "vertex_weights", "meta_data", "gt_centers"):
+            if k in ("data", "data_p", "gt_label_2d", "vertex_targets", "vertex_weights", "vertex_targets3", "vertex_weights3", "meta_data", "gt_centers"):
                 out[k] = bsh
             else:
                 out[k] = repl

@@ -8,11 +8,15 @@ the single largest host artifact of the training loop (162 MB/batch at
 ships only a (B,G,4) table of GT rows [cls, cx, cy, z] and the targets are
 materialized on device inside the train step's jit graph.
 
-Numerics match `posecnn_tpu.data.minibatch.generate_vertex_targets` exactly
+Numerics match `posecnn_tpu.data.minibatch.generate_vertex_targets`
 (golden test in tests/test_ops_basic.py): unit direction from pixel to the
 instance's projected center, log(z) depth, `weight_value` on the 3 channels
-of the pixel's class; first instance of a class wins; adaptation frames
-(label == -1) produce all-zero targets and weights.
+of the pixel's class; adaptation frames (label == -1) produce all-zero
+targets and weights. Multi-instance frames (several objects of one class)
+route each pixel to the *nearest* same-class instance center — a mask-free
+approximation of the reference's instance-mask routing
+(minibatch.py:549-574) that agrees with it except where an instance's pixels
+lie closer to a sibling's center than to its own.
 """
 
 from __future__ import annotations
@@ -21,23 +25,28 @@ import jax
 import jax.numpy as jnp
 
 
-def _center_table(gt_centers: jnp.ndarray, num_classes: int) -> jnp.ndarray:
-    """(B,G,4) rows [cls, cx, cy, z] -> per-image (B,C,4) table of
-    [cx, cy, z, found]; first instance of a class wins (numpy ind[0]
-    semantics, minibatch.py:543-602)."""
-    C = num_classes
-    cls = gt_centers[..., 0].astype(jnp.int32)
+def _nearest_rows(label: jnp.ndarray, gt_centers: jnp.ndarray):
+    """Per-pixel nearest same-class GT row.
+
+    label: (B,H,W) int; gt_centers: (B,G,4) rows [cls, cx, cy, z] zero-padded.
+    Returns e: (B,H,W,3) = [cx, cy, z] of the routed row, found: (B,H,W) bool.
+    With at most one instance per class this reduces to the reference's
+    first-instance semantics exactly.
+    """
+    B, H, W = label.shape
+    cls = gt_centers[..., 0].astype(jnp.int32)  # (B,G)
     valid = cls > 0
-    entry = jnp.concatenate(
-        [gt_centers[..., 1:4], jnp.ones_like(gt_centers[..., :1])], axis=-1
-    )
-    cls_safe = jnp.where(valid, cls, C)
-
-    def build_table(cls_row, entry_row):
-        t = jnp.zeros((C + 1, 4), jnp.float32)
-        return t.at[cls_row[::-1]].set(entry_row[::-1], mode="drop")
-
-    return jax.vmap(build_table)(cls_safe, entry)[:, :C]
+    xs = jnp.arange(W, dtype=jnp.float32)
+    ys = jnp.arange(H, dtype=jnp.float32)
+    dx2 = jnp.square(gt_centers[..., 1][:, :, None] - xs[None, None, :])  # (B,G,W)
+    dy2 = jnp.square(gt_centers[..., 2][:, :, None] - ys[None, None, :])  # (B,G,H)
+    d2 = dy2[:, :, :, None] + dx2[:, :, None, :]  # (B,G,H,W)
+    match = (cls[:, :, None, None] == label[:, None, :, :]) & valid[:, :, None, None]
+    score = jnp.where(match, d2, jnp.inf)
+    g = jnp.argmin(score, axis=1)  # (B,H,W)
+    found = jnp.any(match, axis=1)
+    e = jax.vmap(lambda rows, gi: rows[gi])(gt_centers[..., 1:4], g)  # (B,H,W,3)
+    return e, found
 
 
 def smooth_l1_loss_vertex_sparse(
@@ -61,14 +70,11 @@ def smooth_l1_loss_vertex_sparse(
     B, H, W = label.shape
     C = num_classes
     sigma_2 = sigma ** 2
-    table = _center_table(gt_centers, C)  # (B,C,4)
-
+    e, found = _nearest_rows(label, gt_centers)  # (B,H,W,3), (B,H,W)
     lab_safe = jnp.clip(label, 0, C - 1)
     onehot = (lab_safe[..., None] == jnp.arange(C, dtype=lab_safe.dtype)).astype(
         jnp.float32
     )  # (B,H,W,C)
-    # per-pixel [cx, cy, z, found] of the pixel's class: batched matmul
-    e = jnp.einsum("bhwc,bck->bhwk", onehot, table)  # (B,H,W,4)
     xs = jnp.arange(W, dtype=jnp.float32)[None, None, :]
     ys = jnp.arange(H, dtype=jnp.float32)[None, :, None]
     dx = e[..., 0] - xs
@@ -77,7 +83,7 @@ def smooth_l1_loss_vertex_sparse(
     logz = jnp.log(jnp.maximum(e[..., 2], 1e-10))
     t3 = jnp.stack([dx / n, dy / n, logz], axis=-1)  # (B,H,W,3)
 
-    fg = (label > 0) & (e[..., 3] > 0)
+    fg = (label > 0) & found
     w = jnp.where(fg, jnp.float32(weight_value), 0.0)  # (B,H,W)
 
     # the pixel's class 3-channel slice of the prediction
@@ -105,10 +111,7 @@ def vertex_targets_device(
     (B,H,W,3*num_classes) float32."""
     B, H, W = label.shape
     C = num_classes
-    table = _center_table(gt_centers, C)  # (B,C,4)
-
-    lab_safe = jnp.clip(label, 0, C - 1)
-    e = jax.vmap(lambda t, l: t[l])(table, lab_safe)  # (B,H,W,4)
+    e, found = _nearest_rows(label, gt_centers)  # (B,H,W,3), (B,H,W)
     xs = jnp.arange(W, dtype=jnp.float32)[None, None, :]
     ys = jnp.arange(H, dtype=jnp.float32)[None, :, None]
     dx = e[..., 0] - xs
@@ -117,10 +120,45 @@ def vertex_targets_device(
     logz = jnp.log(jnp.maximum(e[..., 2], 1e-10))
     t3 = jnp.stack([dx / n, dy / n, logz], axis=-1)  # (B,H,W,3)
 
-    fg = (label > 0) & (e[..., 3] > 0)  # class present in GT table
+    fg = (label > 0) & found  # class present in GT table
     onehot = jax.nn.one_hot(jnp.where(fg, label, -1), C, dtype=jnp.float32)  # (B,H,W,C)
     targets = (onehot[..., None] * t3[..., None, :]).reshape(B, H, W, 3 * C)
     weights = (
         jnp.repeat(onehot, 3, axis=-1) * weight_value
     )  # (B,H,W,3C), weight_value on the class's 3 channels
     return targets, weights
+
+
+def smooth_l1_loss_vertex_sparse3d(
+    vertex_pred: jnp.ndarray,
+    label: jnp.ndarray,
+    targets3: jnp.ndarray,
+    weights3: jnp.ndarray,
+    num_classes: int,
+    sigma: float = 1.0,
+) -> jnp.ndarray:
+    """VERTEX_REG_3D loss on compact host targets.
+
+    The host ships the extent-normalized object coordinates already gathered
+    to each pixel's class (`targets3` (B,H,W,3), reference `_scale_vertmap`
+    semantics) plus the per-pixel weight (`weights3` (B,H,W)); the class
+    routing of the prediction happens in-graph, so the dense (B,H,W,3C)
+    blob never exists on the host or the wire.
+    """
+    B, H, W = label.shape
+    C = num_classes
+    sigma_2 = sigma ** 2
+    lab_safe = jnp.clip(label, 0, C - 1)
+    onehot = (lab_safe[..., None] == jnp.arange(C, dtype=lab_safe.dtype)).astype(
+        jnp.float32
+    )
+    pred5 = vertex_pred.reshape(B, H, W, C, 3)
+    pred3 = jnp.einsum("bhwc,bhwck->bhwk", onehot, pred5)  # (B,H,W,3)
+    w = weights3.astype(jnp.float32)
+    diff = w[..., None] * (pred3 - targets3)
+    abs_diff = jnp.abs(diff)
+    sign = jax.lax.stop_gradient((abs_diff < 1.0 / sigma_2).astype(diff.dtype))
+    in_loss = jnp.square(diff) * (sigma_2 / 2.0) * sign + (abs_diff - 0.5 / sigma_2) * (
+        1.0 - sign
+    )
+    return jnp.sum(in_loss) / (3.0 * jnp.sum(w) + 1e-10)

@@ -19,12 +19,19 @@ def parse_args():
     parser.add_argument("--imdb", dest="imdb_name", default="toy_val")
     parser.add_argument("--network", dest="network_name", default="vgg16_convs")
     parser.add_argument("--max_frames", type=int, default=None)
+    parser.add_argument(
+        "--vis", action="store_true",
+        help="write prediction overlays (TEST.VISUALIZE) under the output dir",
+    )
     return parser.parse_args()
 
 
 def main():
     args = parse_args()
     import jax
+
+    if args.device and args.device != "tpu":
+        jax.config.update("jax_platforms", args.device)
 
     from posecnn_tpu.core.config import cfg, cfg_from_file, get_output_dir
     from posecnn_tpu.data.factory import get_imdb
@@ -112,18 +119,35 @@ def main():
     sym = [c for c in imdb.classes if c in YCB_SYMMETRIC_EVAL] or [
         imdb.classes[i] for i in range(imdb.num_classes) if imdb._symmetry[i] > 0
     ]
-    evaluator = PoseEvaluator(imdb.classes, imdb._extents, imdb._points, sym)
-    test_net(
-        params, model_cfg, imdb, cfg.pixel_means(),
-        evaluator=evaluator, max_frames=args.max_frames,
-        forward_fn=forward_fn,
+    # LINEMOD protocol: 0.1 x diameter thresholds + eggbox/glue z-flip for
+    # the reprojection metric (linemod.py:411-413,503-507)
+    diameters = getattr(imdb, "diameters", None)
+    flip_z = [c for c in ("eggbox",) if c in imdb.classes]
+    evaluator = PoseEvaluator(
+        imdb.classes, imdb._extents, imdb._points, sym,
+        diameters=diameters, flip_z_classes=flip_z,
     )
-    summary = evaluator.summary()
     out_dir = get_output_dir(imdb.name, args.network_name)
     import json
     import os
 
     os.makedirs(out_dir, exist_ok=True)
+    visualizer = None
+    if args.vis or cfg.TEST.VISUALIZE:
+        from posecnn_tpu.engine.visualize import PredictionVisualizer
+
+        visualizer = PredictionVisualizer(
+            os.path.join(out_dir, "vis"), imdb.classes, imdb._extents
+        )
+    test_net(
+        params, model_cfg, imdb, cfg.pixel_means(),
+        evaluator=evaluator, max_frames=args.max_frames,
+        forward_fn=forward_fn,
+        pose_refine=cfg.TEST.POSE_REFINE,
+        im_scale=cfg.TEST.SCALES_BASE[0],
+        visualizer=visualizer,
+    )
+    summary = evaluator.summary()
     with open(os.path.join(out_dir, "eval_summary.json"), "w") as f:
         json.dump(summary, f, indent=2)
     print(json.dumps(summary, indent=2))

@@ -35,6 +35,11 @@ def main():
     args = parse_args()
     import jax
 
+    if args.device and args.device != "tpu":
+        # JAX_PLATFORMS env is ignored in some environments; the config API
+        # works when set before backend initialization
+        jax.config.update("jax_platforms", args.device)
+
     from posecnn_tpu.core.config import cfg, cfg_from_file, get_output_dir
     from posecnn_tpu.data.factory import get_imdb
     from posecnn_tpu.data.layer import GtSynthesizeLayer, prefetch
@@ -50,6 +55,14 @@ def main():
     pprint.pprint(cfg)
 
     imdb = get_imdb(args.imdb_name)
+    if cfg.TRAIN.USE_FLIPPED:
+        # reference get_training_roidb (lib/fcn/train.py:373-380): double the
+        # roidb with horizontally flipped entries
+        try:
+            imdb.append_flipped_images()
+            print("appended flipped images")
+        except NotImplementedError:
+            print("dataset has no roidb; USE_FLIPPED ignored")
     print(f"Loaded dataset `{imdb.name}`: {imdb.num_images} images")
 
     if cfg.NETWORK == "VGG16DET" or args.network_name == "vgg16_det":
@@ -98,6 +111,8 @@ def main():
         pose_w=cfg.TRAIN.POSE_W,
         adapt_weight=cfg.TRAIN.ADAPT_WEIGHT,
         clip_grad_norm=cfg.TRAIN.GRAD_CLIP,
+        margin=cfg.TRAIN.POSE_MARGIN,
+        pose_norm_valid=cfg.TRAIN.POSE_NORM_VALID,
     )
     mcfg = MinibatchConfig(
         num_classes=imdb.num_classes,
@@ -105,9 +120,11 @@ def main():
         chromatic=cfg.TRAIN.CHROMATIC,
         add_noise=cfg.TRAIN.ADD_NOISE,
         vertex_reg=model_cfg.vertex_reg,
+        vertex_reg_3d=cfg.TRAIN.VERTEX_REG_3D,
         vertex_w_inside=cfg.TRAIN.VERTEX_W_INSIDE,
         max_gt=cfg.TPU.MAX_GT,
         device_targets=cfg.TPU.DEVICE_TARGETS,
+        input_format=cfg.INPUT,
     )
     output_dir = args.output or get_output_dir(imdb.name, args.network_name)
     print("Output will be saved to", output_dir)
