@@ -125,7 +125,8 @@ def ransac_from_maps(
     idx = jnp.zeros((max_points + 1,), jnp.int32).at[dest].set(
         jnp.arange(H * W, dtype=jnp.int32), mode="drop"
     )[:max_points]
-    # object coordinates are predicted normalized by extents (VERTEX_REG_3D
-    # scaling, minibatch.py _scale_vertmap) — unscale here
-    oc = vertex_pred_3d.reshape(-1, 3)[idx] * extents_cls[None, :]
+    # object coordinates are predicted in the [0,1] extent-normalized frame
+    # (VERTEX_REG_3D scaling: v/extent + 0.5, minibatch.py _scale_vertmap) —
+    # unscale with the matching inverse (reference _unscale_vertmap)
+    oc = (vertex_pred_3d.reshape(-1, 3)[idx] - 0.5) * extents_cls[None, :]
     return ransac_pose(key, oc, cam, valid, **kwargs)

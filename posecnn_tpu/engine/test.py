@@ -50,15 +50,16 @@ def make_inference_fn(
             "prob_normalized": out["prob_normalized"],
         }
         if cfg.vertex_reg:
-            keep.update(
-                vertex_pred=out["vertex_pred"],
-                rois=out["rois"],
-                poses_init=out["poses_init"],
-                rois_valid=out["rois_valid"],
-                num_rois=out["num_rois"],
-            )
-            if cfg.pose_reg:
-                keep["poses_tanh"] = out["poses_tanh"]
+            keep["vertex_pred"] = out["vertex_pred"]
+            if not cfg.vertex_reg_3d:  # hough outputs only exist in 2D mode
+                keep.update(
+                    rois=out["rois"],
+                    poses_init=out["poses_init"],
+                    rois_valid=out["rois_valid"],
+                    num_rois=out["num_rois"],
+                )
+                if cfg.pose_reg:
+                    keep["poses_tanh"] = out["poses_tanh"]
         return keep
 
     return infer
@@ -143,6 +144,56 @@ def refine_poses(rois, poses, depth_m, label, points_all, meta, max_det: int = M
     return poses_new, poses_icp
 
 
+@functools.partial(jax.jit, static_argnames=("max_points", "num_hypotheses"))
+def _ransac3d_jit(key, vp3, label, depth_m, cls, extent, fx, fy, px, py,
+                  max_points=512, num_hypotheses=256):
+    from posecnn_tpu.engine.ransac import ransac_from_maps
+
+    return ransac_from_maps(
+        key, vp3, label, depth_m, cls, extent, fx, fy, px, py,
+        max_points=max_points, num_hypotheses=num_hypotheses,
+    )
+
+
+def decode_poses_3d(
+    out,
+    depth_m: np.ndarray,
+    meta: np.ndarray,
+    extents: np.ndarray,
+    num_classes: int,
+    label_threshold: int = 500,
+    seed: int = 0,
+):
+    """VERTEX_REG_3D pose decoding (the reference's Ransac3D branch,
+    lib/fcn/test.py + lib/pose_estimation/src/ransac3D.cpp): per class with
+    enough predicted pixels, Kabsch-RANSAC between the predicted (unscaled)
+    object coordinates and the backprojected depth points.
+
+    Returns (rois (N,7), poses (N,7)) in the hough-roi layout so the rest of
+    the eval path (NMS-free — one detection per class) is shared."""
+    label = np.asarray(out["label_2d"][0])
+    vp = np.asarray(out["vertex_pred"][0], np.float32)
+    fx, px, fy, py = float(meta[0]), float(meta[2]), float(meta[4]), float(meta[5])
+    rois, poses = [], []
+    key = jax.random.PRNGKey(seed)
+    for c in range(1, num_classes):
+        ys, xs = np.nonzero(label == c)
+        if len(xs) < label_threshold:
+            continue
+        key, sub = jax.random.split(key)
+        q, t, n_inl = _ransac3d_jit(
+            sub, jnp.asarray(vp[:, :, 3 * c : 3 * c + 3]), jnp.asarray(label),
+            jnp.asarray(depth_m), jnp.asarray(c), jnp.asarray(extents[c], jnp.float32),
+            fx, fy, px, py,
+        )
+        score = float(n_inl)
+        rois.append([0, c, xs.min(), ys.min(), xs.max(), ys.max(), score])
+        poses.append(np.concatenate([np.asarray(q), np.asarray(t)]))
+    if not rois:
+        return np.zeros((0, 7), np.float32), np.zeros((0, 7), np.float32)
+    return np.asarray(rois, np.float32), np.asarray(poses, np.float32)
+
+
 def test_net(
     params,
     model_cfg: PoseCNNConfig,
@@ -189,7 +240,20 @@ def test_net(
         timer.tic()
         out = jax.device_get(infer(params, raw, meta, extents))
         timer.toc(average=False)
-        rois, poses = postprocess_detections(out, nms_threshold)
+        if model_cfg.vertex_reg_3d:
+            # RANSAC branch: pose from object-coordinate + depth correspondences
+            depth3d = (
+                frame.depth.astype(np.float32) / float(frame.factor_depth)
+                if frame.depth is not None
+                else np.zeros(frame.label.shape, np.float32)
+            )
+            rois, poses = decode_poses_3d(
+                out, depth3d, build_meta_data(frame.intrinsic_matrix),
+                np.asarray(dataset._extents), model_cfg.num_classes,
+                label_threshold=model_cfg.label_threshold, seed=i,
+            )
+        else:
+            rois, poses = postprocess_detections(out, nms_threshold)
         label_pred = out["label_2d"][0]
         if im_scale != 1.0:
             # predictions live in scaled-image coordinates: bring the label

@@ -41,6 +41,12 @@ class PoseCNNConfig:
     num_units: int = 64
     input_format: str = "COLOR"  # COLOR | RGBD | DEPTH | NORMAL
     vertex_reg: bool = True
+    # VERTEX_REG_3D: the vertex head predicts extent-normalized 3D object
+    # coordinates instead of center directions; hough voting and the
+    # quaternion branch are skipped (the reference gates them under
+    # VERTEX_REG_2D, vgg16_convs.py:103-176) — pose decoding happens via
+    # depth RANSAC (engine/ransac.ransac_from_maps)
+    vertex_reg_3d: bool = False
     pose_reg: bool = True
     adaptation: bool = False
     threshold_label: float = 1.0
@@ -174,6 +180,10 @@ def posecnn_forward(
         compute_dtype=dt,
     )
     out["vertex_pred"] = vertex_pred
+
+    if cfg.vertex_reg_3d:
+        # 3D object-coordinate mode: no hough voting / quaternion branch
+        return out
 
     # ---- hough voting (in-graph; zero gradients)
     if gt_poses is None:

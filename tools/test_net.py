@@ -88,7 +88,8 @@ def main():
         num_classes=imdb.num_classes,
         num_units=cfg.TRAIN.NUM_UNITS,
         vertex_reg=cfg.TEST.VERTEX_REG_2D or cfg.TEST.VERTEX_REG_3D,
-        pose_reg=cfg.TEST.POSE_REG,
+        vertex_reg_3d=cfg.TEST.VERTEX_REG_3D,
+        pose_reg=cfg.TEST.POSE_REG and not cfg.TEST.VERTEX_REG_3D,
         is_train=False,
         vote_threshold=cfg.TEST.VOTING_THRESHOLD,
         hough_class_slots=cfg.TPU.HOUGH_CLASS_SLOTS,

@@ -87,7 +87,10 @@ def main():
         num_units=cfg.TRAIN.NUM_UNITS,
         input_format=cfg.INPUT if cfg.INPUT != "COLOR" else "COLOR",
         vertex_reg=cfg.TRAIN.VERTEX_REG_2D or cfg.TRAIN.VERTEX_REG_3D,
-        pose_reg=cfg.TRAIN.POSE_REG,
+        vertex_reg_3d=cfg.TRAIN.VERTEX_REG_3D,
+        # the quaternion branch hangs off hough voting, which only exists in
+        # the 2D center-direction mode (vgg16_convs.py gating)
+        pose_reg=cfg.TRAIN.POSE_REG and not cfg.TRAIN.VERTEX_REG_3D,
         adaptation=cfg.TRAIN.ADAPT,
         threshold_label=cfg.TRAIN.THRESHOLD_LABEL,
         vote_threshold=cfg.TRAIN.VOTING_THRESHOLD,
