@@ -198,6 +198,10 @@ class TPUConfig:
     ADD_NUM_POINTS: int = 1024
     # host prefetch depth (reference: tf.FIFOQueue(25), vgg16_convs.py:45)
     PREFETCH: int = 4
+    # debug/sanitizer toggles (the reference had none, SURVEY.md §5): raise
+    # on NaN/Inf in any jit output / run op-by-op without jit fusion
+    DEBUG_NANS: bool = False
+    DEBUG_DISABLE_JIT: bool = False
     # ICP refinement iterations (JAX Gauss-Newton; replaces synthesize.cpp solveICP)
     ICP_ITERS: int = 20
     DONATE_BATCH: bool = True
@@ -312,6 +316,20 @@ def cfg_from_file(filename: str, target: Optional[Config] = None) -> Config:
     target = cfg if target is None else target
     _merge_into(target, _yaml_load(filename))
     return target
+
+
+def apply_debug_flags(config: Optional[Config] = None) -> None:
+    """Apply TPU.DEBUG_* sanitizer toggles to the JAX runtime (call after
+    config load, before tracing). The reference has no equivalent
+    (SURVEY.md §5 'sanitizers: none')."""
+    c = cfg if config is None else config
+    if c.TPU.DEBUG_NANS or c.TPU.DEBUG_DISABLE_JIT:
+        import jax
+
+        if c.TPU.DEBUG_NANS:
+            jax.config.update("jax_debug_nans", True)
+        if c.TPU.DEBUG_DISABLE_JIT:
+            jax.config.update("jax_disable_jit", True)
 
 
 def cfg_fresh(filename: Optional[str] = None) -> Config:

@@ -48,6 +48,80 @@ class Mesh:
         hull = ConvexHull(points)
         return cls(points.astype(np.float32), hull.simplices.astype(np.int32))
 
+    @classmethod
+    def from_obj(cls, path: str) -> "Mesh":
+        """Minimal Wavefront OBJ loader: v/f records, fan-triangulated
+        polygons, 1-based (or negative) indices; vt/vn/materials ignored
+        (the rasterizer shades per class color)."""
+        verts: List[List[float]] = []
+        faces: List[List[int]] = []
+        with open(path) as fh:
+            for line in fh:
+                parts = line.split()
+                if not parts:
+                    continue
+                if parts[0] == "v" and len(parts) >= 4:
+                    verts.append([float(parts[1]), float(parts[2]), float(parts[3])])
+                elif parts[0] == "f" and len(parts) >= 4:
+                    idx = []
+                    for tok in parts[1:]:
+                        i = int(tok.split("/")[0])
+                        idx.append(i - 1 if i > 0 else len(verts) + i)
+                    for k in range(1, len(idx) - 1):  # fan triangulation
+                        faces.append([idx[0], idx[k], idx[k + 1]])
+        return cls(np.asarray(verts, np.float32), np.asarray(faces, np.int32))
+
+    @classmethod
+    def from_ply(cls, path: str) -> "Mesh":
+        """ASCII PLY loader (xyz vertices + polygon faces; extra vertex
+        properties like normals/colors are skipped positionally)."""
+        with open(path, "rb") as fh:
+            header = []
+            while True:
+                line = fh.readline().decode("ascii", "ignore").strip()
+                header.append(line)
+                if line == "end_header":
+                    break
+            if not any(h.startswith("format ascii") for h in header):
+                raise ValueError(f"{path}: only ascii PLY supported")
+            n_vert = n_face = 0
+            vert_props: List[str] = []
+            cur = None
+            for h in header:
+                t = h.split()
+                if not t:
+                    continue
+                if t[0] == "element":
+                    cur = t[1]
+                    if cur == "vertex":
+                        n_vert = int(t[2])
+                    elif cur == "face":
+                        n_face = int(t[2])
+                elif t[0] == "property" and cur == "vertex" and len(t) >= 3:
+                    vert_props.append(t[-1])
+            ix = [vert_props.index(a) for a in ("x", "y", "z")]
+            verts = np.zeros((n_vert, 3), np.float32)
+            for i in range(n_vert):
+                vals = fh.readline().split()
+                verts[i] = [float(vals[j]) for j in ix]
+            faces: List[List[int]] = []
+            for _ in range(n_face):
+                vals = fh.readline().split()
+                k = int(vals[0])
+                idx = [int(v) for v in vals[1 : 1 + k]]
+                for j in range(1, k - 1):
+                    faces.append([idx[0], idx[j], idx[j + 1]])
+        return cls(verts, np.asarray(faces, np.int32))
+
+    @classmethod
+    def load(cls, path: str) -> "Mesh":
+        ext = os.path.splitext(path)[1].lower()
+        if ext == ".obj":
+            return cls.from_obj(path)
+        if ext == ".ply":
+            return cls.from_ply(path)
+        raise ValueError(f"unsupported mesh format: {path}")
+
 
 class Synthesizer:
     """Scene sampler + renderer. API shape mirrors libsynthesizer.Synthesizer
@@ -155,11 +229,26 @@ class Synthesizer:
 
 
 def build_ycb_synthesizer(dataset, width=640, height=480, **kwargs) -> Synthesizer:
-    """Synthesizer over a YCB-style dataset (uses its points_all clouds)."""
+    """Synthesizer over a YCB-style dataset: real .obj/.ply meshes from
+    models/<class>/ when present (the reference loads textured models,
+    synthesize.cpp loadModels), else convex hulls of the points.xyz clouds."""
     meshes: List[Optional[Mesh]] = [None]
+    model_root = os.path.join(getattr(dataset, "_lov_path", ""), "models")
     for c in range(1, dataset.num_classes):
-        pts = dataset._points_all[c]
-        meshes.append(Mesh.from_points(pts) if pts.shape[0] >= 4 else None)
+        mesh = None
+        cls_name = dataset.classes[c]
+        for fname in ("textured.obj", "textured.ply", "mesh.obj", f"{cls_name}.obj", f"{cls_name}.ply"):
+            p = os.path.join(model_root, cls_name, fname)
+            if os.path.exists(p):
+                try:
+                    mesh = Mesh.load(p)
+                    break
+                except (ValueError, OSError):
+                    mesh = None
+        if mesh is None:
+            pts = dataset._points_all[c]
+            mesh = Mesh.from_points(pts) if pts.shape[0] >= 4 else None
+        meshes.append(mesh)
     K = getattr(dataset, "K", np.array([[1066.778, 0, 312.9869], [0, 1067.487, 241.3109], [0, 0, 1]]))
     colors = getattr(dataset, "_class_colors", None)
     return Synthesizer(meshes, dataset._extents, K, width, height, class_colors=colors, **kwargs)

@@ -42,6 +42,9 @@ def main():
 
     if args.cfg_file:
         cfg_from_file(args.cfg_file)
+    from posecnn_tpu.core.config import apply_debug_flags
+
+    apply_debug_flags(cfg)
     pprint.pprint(cfg)
 
     imdb = get_imdb(args.imdb_name)

@@ -49,6 +49,9 @@ def main():
 
     if args.cfg_file:
         cfg_from_file(args.cfg_file)
+    from posecnn_tpu.core.config import apply_debug_flags
+
+    apply_debug_flags(cfg)
     if not args.rand:
         np.random.seed(cfg.RNG_SEED)
     print("Using config:")
