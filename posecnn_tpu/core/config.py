@@ -136,6 +136,10 @@ class TestConfig:
     VERTEX_REG_3D: bool = False
     VISUALIZE: bool = False
     RANSAC: bool = False
+    # reproduce the reference's NMS column bug bit-for-bit for parity runs
+    # (it feeds 7-column rois to nms, lib/fcn/test.py:198 — see
+    # engine/test.postprocess_detections)
+    REFERENCE_NMS_BUG: bool = False
     GAN: bool = False
     POSE_REG: bool = False
     POSE_REFINE: bool = False

@@ -68,9 +68,14 @@ def make_inference_fn(
 def postprocess_detections(
     out: Dict[str, np.ndarray],
     nms_threshold: float = 0.5,
+    reference_nms_bug: bool = False,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Host-side NMS + pose combination. Returns (rois, poses) with
-    poses rows (w,x,y,z,tx,ty,tz), mirroring im_segment_single_frame."""
+    poses rows (w,x,y,z,tx,ty,tz), mirroring im_segment_single_frame.
+
+    reference_nms_bug: reproduce the reference bit-for-bit — it feeds the
+    full 7-column roi array to nms (lib/fcn/test.py:198), which then reads
+    columns 0..4 = (batch, cls, x1, y1) as the box and x2 as the score."""
     rois = np.asarray(out["rois"])
     valid = np.asarray(out["rois_valid"]).astype(bool)
     poses_init = np.asarray(out["poses_init"])
@@ -81,7 +86,10 @@ def postprocess_detections(
     if rois.shape[0] == 0:
         return rois, poses_init
 
-    dets = np.concatenate([rois[:, 2:6], rois[:, 6:7]], axis=1).astype(np.float32)
+    if reference_nms_bug:
+        dets = rois[:, 0:5].astype(np.float32)
+    else:
+        dets = np.concatenate([rois[:, 2:6], rois[:, 6:7]], axis=1).astype(np.float32)
     keep = nms_np(dets, nms_threshold)
     rois = rois[keep]
     poses = poses_init[keep].copy()
@@ -207,6 +215,7 @@ def test_net(
     pose_refine: bool = False,
     im_scale: float = 1.0,
     visualizer=None,
+    reference_nms_bug: bool = False,
 ):
     """Per-frame evaluation loop (test.py:1154-1467).
 
@@ -253,7 +262,7 @@ def test_net(
                 label_threshold=model_cfg.label_threshold, seed=i,
             )
         else:
-            rois, poses = postprocess_detections(out, nms_threshold)
+            rois, poses = postprocess_detections(out, nms_threshold, reference_nms_bug)
         label_pred = out["label_2d"][0]
         if im_scale != 1.0:
             # predictions live in scaled-image coordinates: bring the label

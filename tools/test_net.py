@@ -150,6 +150,7 @@ def main():
         pose_refine=cfg.TEST.POSE_REFINE,
         im_scale=cfg.TEST.SCALES_BASE[0],
         visualizer=visualizer,
+        reference_nms_bug=cfg.TEST.REFERENCE_NMS_BUG,
     )
     summary = evaluator.summary()
     with open(os.path.join(out_dir, "eval_summary.json"), "w") as f:

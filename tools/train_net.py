@@ -40,6 +40,13 @@ def main():
         # works when set before backend initialization
         jax.config.update("jax_platforms", args.device)
 
+    # multi-host: joins the global runtime when POSECNN_COORDINATOR /
+    # NUM_PROCESSES / PROCESS_ID (or TPU pod metadata) are present; no-op
+    # for single-process runs
+    from posecnn_tpu.parallel.launch import initialize as distributed_initialize
+
+    distributed_initialize()
+
     from posecnn_tpu.core.config import cfg, cfg_from_file, get_output_dir
     from posecnn_tpu.data.factory import get_imdb
     from posecnn_tpu.data.layer import GtSynthesizeLayer, prefetch
