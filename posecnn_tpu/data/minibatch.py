@@ -71,6 +71,9 @@ class MinibatchConfig:
     # normalized-depth / normal-map image; RGBD additionally ships `data_p`
     # for the dual tower
     input_format: str = "COLOR"
+    # TRAIN.GAN: additionally ship the [-1,1]-normalized image blob the GAN
+    # models consume (gt_single_data_layer/minibatch.py:102-106)
+    gan: bool = False
     # TPU fast path: ship uint8 frames + a small (G,4) GT-center table and
     # build the mean-subtracted input and the (B,H,W,3C) vertex targets
     # inside the train step's jit graph (ops/vertex_targets.py). This host
@@ -321,6 +324,7 @@ def get_minibatch(
     C = mcfg.num_classes
     ims, ims_p, labels, metas, vtargets, vweights, center_rows = [], [], [], [], [], [], []
     vt3, vw3 = [], []
+    gan_ims = []
     pose_blob = np.zeros((0, 13), dtype=np.float32)
     want_depth_input = mcfg.input_format in ("DEPTH", "RGBD")
     want_normal_input = mcfg.input_format == "NORMAL"
@@ -358,6 +362,8 @@ def get_minibatch(
                     ims_p.append(_finish(im_d))
             else:
                 im = normal_input_image(depth_raw, fr.factor_depth, fr.intrinsic_matrix)
+        if mcfg.gan:
+            gan_ims.append(im[..., :3].astype(np.float32) / 127.5 - 1.0)
         ims.append(_finish(im))
         metas.append(build_meta_data(fr.intrinsic_matrix, mcfg.scale))
 
@@ -421,6 +427,8 @@ def get_minibatch(
     }
     if ims_p:
         batch["data_p"] = np.stack(ims_p) if mcfg.device_targets else np.stack(ims_p).astype(np.float32)
+    if gan_ims:
+        batch["data_gan"] = np.stack(gan_ims)
     if mcfg.vertex_reg:
         if mcfg.device_targets and mcfg.vertex_reg_3d:
             batch["vertex_targets3"] = np.stack(vt3)

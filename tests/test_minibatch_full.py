@@ -269,3 +269,18 @@ def test_input_format_rgbd_device_targets_uint8():
     ext = np.ones((C, 3), np.float32) * 0.1
     b = get_minibatch([fr], mcfg, ext, np.zeros((C, 8, 3), np.float32), np.zeros(C, np.float32))
     assert b["data"].dtype == np.uint8 and b["data_p"].dtype == np.uint8
+
+
+def test_gan_blob():
+    """TRAIN.GAN ships the [-1,1]-normalized image for the GAN models
+    (gt_single_data_layer/minibatch.py:102-106)."""
+    fr = _frame()
+    mcfg = MinibatchConfig(num_classes=C, chromatic=False, add_noise=False,
+                           device_targets=True, gan=True)
+    ext = np.ones((C, 3), np.float32) * 0.1
+    b = get_minibatch([fr], mcfg, ext, np.zeros((C, 8, 3), np.float32), np.zeros(C, np.float32))
+    assert b["data_gan"].dtype == np.float32
+    assert b["data_gan"].min() >= -1.0 and b["data_gan"].max() <= 1.0
+    np.testing.assert_allclose(
+        b["data_gan"][0], b["data"][0].astype(np.float32) / 127.5 - 1.0, atol=1e-5
+    )
