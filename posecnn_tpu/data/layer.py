@@ -12,6 +12,7 @@ Rewrite of `lib/gt_synthesize_layer/layer.py`:
 
 from __future__ import annotations
 
+import os
 import queue
 import threading
 from typing import Callable, Iterator, List, Optional
@@ -40,6 +41,32 @@ class IndexStream:
             out.extend(self._perm[self._cur : self._cur + take])
             self._cur += take
         return np.asarray(out)
+
+
+def build_background_paths(
+    data_root: str = "data", input_format: str = "COLOR"
+) -> List[str]:
+    """Background image bank for synthetic compositing — file paths, loaded
+    lazily at composite time (reference `_build_background_images`,
+    gt_synthesize_layer/layer.py:125-176: SUN2012 + ObjectNet3D for color,
+    RGBD-Scenes for depth). Missing roots simply contribute nothing."""
+    import glob
+
+    roots = []
+    if input_format in ("COLOR", "RGBD", "NORMAL"):
+        roots += [
+            os.path.join(data_root, "SUN2012", "data", "Images"),
+            os.path.join(data_root, "ObjectNet3D", "data"),
+        ]
+    else:
+        roots.append(os.path.join(data_root, "RGBD-Scenes"))
+    out: List[str] = []
+    for root in roots:
+        if not os.path.isdir(root):
+            continue
+        for ext in ("*.jpg", "*.JPEG", "*.jpeg", "*.png"):
+            out.extend(glob.glob(os.path.join(root, "**", ext), recursive=True))
+    return sorted(out)
 
 
 class GtSynthesizeLayer:

@@ -344,7 +344,10 @@ def get_minibatch(
         label = pad_im(fr.label.astype(np.int32), 16)
         if fr.is_synthetic and backgrounds:
             bg = backgrounds[rng.randint(len(backgrounds))]
-            im = composite_background(im, label, bg)
+            if isinstance(bg, str):  # lazy path bank (build_background_paths)
+                bg = cv2.imread(bg, cv2.IMREAD_COLOR)
+            if bg is not None:
+                im = composite_background(im, label, bg)
         if mcfg.chromatic:
             im = chromatic_transform(im, rng=rng)
         if mcfg.add_noise:

@@ -6,6 +6,7 @@ from __future__ import annotations
 import _init_paths  # noqa: F401  (repo-root import bootstrap)
 
 import argparse
+import os
 import pprint
 import sys
 
@@ -142,11 +143,86 @@ def main():
     output_dir = args.output or get_output_dir(imdb.name, args.network_name)
     print("Output will be saved to", output_dir)
 
+    # synthetic-frame source for the SYNTHESIZE mix (reference render thread /
+    # offline data_syn reader, tools/train_net.py:155-258, minibatch.py:121-154)
+    syn_frames = None
+    if cfg.TRAIN.SYNTHESIZE:
+        if cfg.TRAIN.SYN_ONLINE:
+            from posecnn_tpu.data.synthetic import build_ycb_synthesizer
+
+            pose_bank = None
+            if cfg.TRAIN.SYN_SAMPLE_POSE:
+                # per-class pose bank (the reference reads poses.txt files,
+                # synthesize.cpp loadPoses); one combined bank here
+                bank_file = os.path.join(
+                    getattr(imdb, "_lov_path", ""), "poses.txt"
+                )
+                if os.path.exists(bank_file):
+                    pose_bank = np.loadtxt(bank_file).reshape(-1, 4)
+            synth = build_ycb_synthesizer(
+                imdb, width=cfg.TRAIN.SYN_WIDTH, height=cfg.TRAIN.SYN_HEIGHT,
+                t_near=cfg.TRAIN.SYN_TNEAR, t_far=cfg.TRAIN.SYN_TFAR,
+                pose_bank=pose_bank,
+            )
+            syn_frames = lambda i, rng: synth.render_scene(rng)
+        else:
+            from posecnn_tpu.data.synthetic import OfflineSynReader
+
+            reader = OfflineSynReader(cfg.TRAIN.SYNROOT, num=cfg.TRAIN.SYNNUM)
+            syn_frames = lambda i, rng: reader.load_frame(
+                (cfg.TRAIN.SYNITER + rng.randint(reader.num)) % reader.num
+            )
+
+    # domain-adaptation frames: real unlabeled images from ADAPT_ROOT
+    # (label blob becomes -1; reference layer.py adaptation stream)
+    adapt_frames = None
+    if cfg.TRAIN.ADAPT and cfg.TRAIN.ADAPT_ROOT:
+        import glob as _glob
+
+        import cv2 as _cv2
+
+        from posecnn_tpu.data.minibatch import Frame as _Frame
+
+        adapt_paths = sorted(
+            _glob.glob(os.path.join(cfg.TRAIN.ADAPT_ROOT, "*.png"))
+            + _glob.glob(os.path.join(cfg.TRAIN.ADAPT_ROOT, "*.jpg"))
+        )[: cfg.TRAIN.ADAPT_NUM]
+
+        def adapt_frames(i, rng, _paths=adapt_paths):
+            im = _cv2.imread(_paths[rng.randint(len(_paths))], _cv2.IMREAD_COLOR)
+            h, w = im.shape[:2]
+            return _Frame(
+                color=im, label=np.zeros((h, w), np.int32),
+                cls_indexes=np.zeros(0, np.float32),
+                poses=np.zeros((3, 4, 0), np.float32),
+                center=np.zeros((0, 2), np.float32),
+                intrinsic_matrix=np.eye(3),
+                is_adaptation=True,
+            )
+
+        if not adapt_paths:
+            adapt_frames = None
+
+    backgrounds = None
+    if cfg.TRAIN.SYNTHESIZE:
+        from posecnn_tpu.data.layer import build_background_paths
+
+        backgrounds = build_background_paths(
+            os.environ.get("POSECNN_DATA", "data"), cfg.INPUT
+        )
+        if backgrounds:
+            print(f"{len(backgrounds)} background images")
+
     layer = GtSynthesizeLayer(
         imdb, mcfg,
         ims_per_batch=cfg.TRAIN.IMS_PER_BATCH,
         synthesize=cfg.TRAIN.SYNTHESIZE,
         syn_ratio=cfg.TRAIN.SYN_RATIO,
+        syn_frames=syn_frames,
+        adapt=cfg.TRAIN.ADAPT and adapt_frames is not None,
+        adapt_ratio=cfg.TRAIN.ADAPT_RATIO,
+        adapt_frames=adapt_frames,
+        backgrounds=backgrounds,
         seed=cfg.RNG_SEED,
     )
     solver = Solver(
