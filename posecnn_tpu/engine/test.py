@@ -241,6 +241,9 @@ def test_net(
             color = cv2.resize(
                 color, None, None, fx=im_scale, fy=im_scale, interpolation=cv2.INTER_LINEAR
             )
+            from posecnn_tpu.utils.blob import pad_im
+
+            color = pad_im(color, 16)  # trunk needs x16 dims (blob.py pad)
         raw = jnp.asarray(color[None])
         from posecnn_tpu.data.minibatch import build_meta_data
 

@@ -284,3 +284,23 @@ def test_gan_blob():
     np.testing.assert_allclose(
         b["data_gan"][0], b["data"][0].astype(np.float32) / 127.5 - 1.0, atol=1e-5
     )
+
+
+def test_rescale_points_reference_semantics():
+    """ADD-loss point rescaling (minibatch.py:49-63): weight = max(10,
+    2/ext_max), x4 for symmetric classes. The quaternion head's gradient
+    scale depends on this — training must feed rescaled clouds (the eval
+    path uses raw meters)."""
+    from posecnn_tpu.data.minibatch import rescale_points
+
+    pts = np.ones((3, 5, 3), np.float32) * 0.01
+    extents = np.array([[0, 0, 0], [0.4, 0.2, 0.1], [0.05, 0.05, 0.05]], np.float32)
+    sym = np.array([0, 0, 1], np.float32)
+    out = rescale_points(pts, extents, sym)
+    # class 1: 2/0.4 = 5 -> clamped to 10
+    np.testing.assert_allclose(out[1], pts[1] * 10.0)
+    # class 2 symmetric: 4 * max(10, 2/0.05=40) = 160
+    np.testing.assert_allclose(out[2], pts[2] * 160.0)
+    # is_symmetric=False drops the x4
+    out2 = rescale_points(pts, extents, sym, is_symmetric=False)
+    np.testing.assert_allclose(out2[2], pts[2] * 40.0)

@@ -225,9 +225,21 @@ def main():
         backgrounds=backgrounds,
         seed=cfg.RNG_SEED,
     )
+    # the ADD/ADD-S loss trains on RESCALED model points (weight
+    # max(10, 2/ext_max), x4 for symmetric classes — minibatch.py:49-63);
+    # feeding raw meter-scale clouds shrinks pose gradients ~400x and the
+    # quaternion head never trains. Evaluation always uses raw points.
+    from posecnn_tpu.data.minibatch import rescale_points
+
+    loss_points = rescale_points(
+        np.asarray(layer.dataset._points_all, np.float32),
+        np.asarray(layer.dataset._extents),
+        np.asarray(layer.dataset._symmetry),
+        mcfg.is_symmetric,
+    )
     solver = Solver(
         model_cfg, hp,
-        points=layer.dataset._points_all,
+        points=loss_points,
         symmetry=layer.dataset._symmetry,
         extents=layer.dataset._extents,
         output_dir=output_dir,
@@ -288,8 +300,16 @@ def train_det(args, cfg, imdb):
         gamma=cfg.TRAIN.GAMMA, stepsize=cfg.TRAIN.STEPSIZE,
         weight_reg=cfg.TRAIN.WEIGHT_REG, pose_w=cfg.TRAIN.POSE_W,
     )
+    from posecnn_tpu.data.minibatch import rescale_points
+
     points = np.stack([np.asarray(p) for p in imdb._points_all]) \
         if isinstance(imdb._points_all, list) else np.asarray(imdb._points_all)
+    # rescaled points for the ADD loss (minibatch.py:49-63), as in the
+    # segmentation path above
+    points = rescale_points(
+        points.astype(np.float32), np.asarray(imdb._extents),
+        np.asarray(imdb._symmetry, np.float32),
+    )
     state = create_det_train_state(det_cfg, hp, jax.random.PRNGKey(cfg.RNG_SEED))
     step = make_det_train_step(det_cfg, hp, points.astype(np.float32),
                                np.asarray(imdb._symmetry, np.float32))
