@@ -48,9 +48,15 @@ def initialize(
         process_id = int(os.environ["POSECNN_PROCESS_ID"])
 
     if coordinator_address is None and num_processes is None:
-        # Cloud TPU pod: auto-detected; plain single host: nothing to do
+        # Cloud TPU pod: auto-detected; plain single host: nothing to do.
+        # Tunneled/partial TPU environments can carry pod-ish env vars
+        # without resolvable coordinator metadata — fall back to
+        # single-process rather than failing the run.
         if os.environ.get("TPU_WORKER_HOSTNAMES") or os.environ.get("MEGASCALE_COORDINATOR_ADDRESS"):
-            jax.distributed.initialize()
+            try:
+                jax.distributed.initialize()
+            except (ValueError, RuntimeError) as e:
+                print(f"multi-host autodetection unavailable ({e}); single-process")
         return
     if num_processes is not None and num_processes <= 1:
         return
