@@ -432,6 +432,10 @@ def get_minibatch(
         batch["data_p"] = np.stack(ims_p) if mcfg.device_targets else np.stack(ims_p).astype(np.float32)
     if gan_ims:
         batch["data_gan"] = np.stack(gan_ims)
+        # generator noise blob (reference gt_single_data_layer/minibatch.py:320:
+        # uniform [-1, 1], dim 100, one row per image) — the dcgan generator's
+        # z input
+        batch["gan_z"] = rng.uniform(-1, 1, (len(gan_ims), 100)).astype(np.float32)
     if mcfg.vertex_reg:
         if mcfg.device_targets and mcfg.vertex_reg_3d:
             batch["vertex_targets3"] = np.stack(vt3)

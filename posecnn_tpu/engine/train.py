@@ -76,6 +76,9 @@ class TrainHParams:
     # our fixed-shape row padding otherwise attenuates the loss ~1.6x)
     pose_norm_valid: bool = False
     vertex_w_inside: float = 10.0  # fg weight in vertex targets (minibatch.py:577)
+    # render-and-compare matching loss weight (reference TRAIN.MATCHING flag;
+    # the op existed but no reference network wired it — opt-in here too)
+    matching_w: float = 0.0
     # global-norm gradient clipping; 0 = off (reference parity). From-scratch
     # VGG training (no ImageNet init) diverges within ~20 iters without it.
     clip_grad_norm: float = 0.0
@@ -206,6 +209,25 @@ def compute_losses(
             loss_pose = hp.pose_w * loss_pose
             losses["loss_pose"] = loss_pose
             loss = loss + loss_pose
+
+            if hp.matching_w > 0:
+                # render-and-compare matching loss (reference TRAIN.MATCHING /
+                # lib/matching_loss: render predicted vs GT pose, compare) —
+                # differentiable soft-splat formulation
+                from posecnn_tpu.ops.matching_loss import render_compare_batched
+
+                loss_match = hp.matching_w * render_compare_batched(
+                    out["poses_pred"],
+                    out["poses_target"],
+                    out["poses_weight"],
+                    out["poses_init"],
+                    out["rois"],
+                    points,
+                    batch["meta_data"][0],
+                    model_cfg.num_classes,
+                )
+                losses["loss_matching"] = loss_match
+                loss = loss + loss_match
 
             if model_cfg.adaptation:
                 loss_domain = hp.adapt_weight * sparse_softmax_cross_entropy(

@@ -127,7 +127,13 @@ def _slot_samples(
     """
     if sampler == "approx":
         keep = ((lab_cand == cls) & ok).astype(jnp.float32)
-        vals, idx_c = jax.lax.approx_max_k(keep, P)
+        # approx_max_k requires k < reduction size; small frames (toy/LINEMOD
+        # crops) can have fewer candidates than P — clamp and pad invalid
+        k = min(P, int(keep.shape[-1]))
+        vals, idx_c = jax.lax.approx_max_k(keep, k)
+        if k < P:
+            vals = jnp.pad(vals, (0, P - k), constant_values=0.0)
+            idx_c = jnp.pad(idx_c, (0, P - k), constant_values=0)
         svalid = vals > 0.5
         idx = cand_index[idx_c] if cand_index is not None else idx_c
     else:

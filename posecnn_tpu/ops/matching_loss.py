@@ -45,12 +45,12 @@ def matching_loss(
     fx, fy, px, py = intrinsics
     pp, zp = _project(points, quat_pred, trans_pred, fx, fy, px, py)
     pg, zg = _project(points, jax.lax.stop_gradient(quat_gt), jax.lax.stop_gradient(trans_gt), fx, fy, px, py)
-    # symmetric chamfer over projected points (P small: dense P x P)
-    d2 = (
-        jnp.sum(pp * pp, axis=1)[:, None]
-        + jnp.sum(pg * pg, axis=1)[None, :]
-        - 2.0 * pp @ pg.T
-    )
+    # symmetric chamfer over projected points (P small: dense P x P).
+    # direct differences, NOT the |a|^2+|b|^2-2ab expansion: pixel coords are
+    # O(100), squares O(1e5), and f32 cancellation there leaves a ~1e-3 floor
+    # that never reaches zero at the GT pose
+    diff = pp[:, None, :] - pg[None, :, :]
+    d2 = jnp.sum(diff * diff, axis=-1)
     chamfer = jnp.mean(jnp.min(d2, axis=1)) + jnp.mean(jnp.min(d2, axis=0))
     depth = jnp.mean(jnp.abs(zp - zg))
     return chamfer + depth_weight * depth
@@ -83,6 +83,120 @@ def matching_loss_batched(
         return jnp.where(has_i, loss, 0.0)
 
     losses = jax.vmap(one)(qp, qg, t, cls, has)
+    return jnp.sum(losses) / jnp.maximum(jnp.sum(has), 1)
+
+
+def soft_render(
+    points: jnp.ndarray,
+    quat: jnp.ndarray,
+    trans: jnp.ndarray,
+    intrinsics,
+    grid_x: jnp.ndarray,
+    grid_y: jnp.ndarray,
+    sigma: float = 2.0,
+):
+    """Differentiable point-splat render: soft silhouette + soft depth.
+
+    TPU formulation of the reference render step inside the matching loss
+    (lib/matching_loss/matching_loss_op.cc:135-140 calls render_.render on
+    the predicted and GT poses): each model point splats a Gaussian of width
+    `sigma` px onto the raster; occupancy is a smooth max over points and
+    depth a softmin-weighted average. Dense (H, W, P) math — no scatter, no
+    GL context, exact gradients wrt quat/trans.
+
+    grid_x: (W,) pixel-center xs; grid_y: (H,) pixel-center ys.
+    Returns (occupancy (H, W) in [0, 1), depth (H, W) in meters).
+    """
+    fx, fy, px, py = intrinsics
+    uv, z = _project(points, quat, trans, fx, fy, px, py)
+    # (H, W, P) squared pixel distance from each grid cell to each splat
+    du = grid_x[None, :, None] - uv[None, None, :, 0]
+    dv = grid_y[:, None, None] - uv[None, None, :, 1]
+    w = jnp.exp(-(du * du + dv * dv) / (2.0 * sigma * sigma))
+    # smooth max: 1 - prod(1 - w) == P(any splat covers), stable in log space
+    occ = 1.0 - jnp.exp(jnp.sum(jnp.log1p(-jnp.minimum(w, 1.0 - 1e-6)), axis=-1))
+    # soft z-buffer: softmin over depth among covering splats
+    zw = w * jax.nn.softmax(-z[None, None, :] * 20.0, axis=-1)
+    depth = jnp.sum(zw * z[None, None, :], axis=-1) / jnp.maximum(
+        jnp.sum(zw, axis=-1), 1e-8
+    )
+    return occ, depth
+
+
+def render_compare_loss(
+    quat_pred: jnp.ndarray,
+    trans_pred: jnp.ndarray,
+    quat_gt: jnp.ndarray,
+    trans_gt: jnp.ndarray,
+    points: jnp.ndarray,
+    intrinsics,
+    roi: jnp.ndarray,
+    raster: int = 32,
+    sigma: float = 2.0,
+    depth_weight: float = 1.0,
+) -> jnp.ndarray:
+    """Render-and-compare matching loss: rasterize the model under the
+    predicted and GT poses on a `raster`x`raster` grid over the ROI and
+    penalize silhouette + masked-depth disagreement. Differentiable
+    counterpart of the reference matching loss (render both poses, compare
+    images); the GT render carries no gradient."""
+    x1, y1, x2, y2 = roi[0], roi[1], roi[2], roi[3]
+    gx = x1 + (x2 - x1) * (jnp.arange(raster) + 0.5) / raster
+    gy = y1 + (y2 - y1) * (jnp.arange(raster) + 0.5) / raster
+    occ_p, dep_p = soft_render(points, quat_pred, trans_pred, intrinsics, gx, gy, sigma)
+    occ_g, dep_g = soft_render(
+        points,
+        jax.lax.stop_gradient(quat_gt),
+        jax.lax.stop_gradient(trans_gt),
+        intrinsics,
+        gx,
+        gy,
+        sigma,
+    )
+    occ_g = jax.lax.stop_gradient(occ_g)
+    dep_g = jax.lax.stop_gradient(dep_g)
+    sil = jnp.mean((occ_p - occ_g) ** 2)
+    both = occ_p * occ_g  # depth compared where both silhouettes live
+    dep = jnp.sum(both * jnp.abs(dep_p - dep_g)) / jnp.maximum(jnp.sum(both), 1e-6)
+    return sil + depth_weight * dep
+
+
+def render_compare_batched(
+    poses_pred: jnp.ndarray,
+    poses_target: jnp.ndarray,
+    poses_weight: jnp.ndarray,
+    poses_init: jnp.ndarray,
+    rois: jnp.ndarray,
+    points: jnp.ndarray,
+    meta_data_row: jnp.ndarray,
+    num_classes: int,
+    raster: int = 32,
+    sigma: float = 2.0,
+) -> jnp.ndarray:
+    """Render-and-compare over the padded hough ROI rows (the shape the
+    reference op takes: pose (N, 4C), gt, rois, meta — matching_loss_op.cc
+    inputs). Each valid row renders its class model under the predicted
+    quaternion + hough translation and under the GT pose, on a raster over
+    its ROI. Inactive rows contribute zero."""
+    fx, px, fy, py = meta_data_row[0], meta_data_row[2], meta_data_row[4], meta_data_row[5]
+    w4 = poses_weight.reshape(poses_weight.shape[0], num_classes, 4)
+    active = w4[:, :, 0] > 0
+    has = jnp.any(active, axis=1)
+    cls = jnp.argmax(active, axis=1)
+    idx4 = cls[:, None] * 4 + jnp.arange(4)[None, :]
+    qp = jnp.take_along_axis(poses_pred, idx4, axis=1)
+    qg = jnp.take_along_axis(poses_target, idx4, axis=1)
+    t = poses_init[:, 4:7]
+
+    def one(qp_i, qg_i, t_i, cls_i, roi_i, has_i):
+        pts = jnp.take(points, cls_i, axis=0)
+        loss = render_compare_loss(
+            qp_i, t_i, qg_i, t_i, pts, (fx, fy, px, py),
+            roi_i, raster=raster, sigma=sigma,
+        )
+        return jnp.where(has_i, loss, 0.0)
+
+    losses = jax.vmap(one)(qp, qg, t, cls, rois[:, 2:6], has)
     return jnp.sum(losses) / jnp.maximum(jnp.sum(has), 1)
 
 

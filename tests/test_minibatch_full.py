@@ -284,6 +284,10 @@ def test_gan_blob():
     np.testing.assert_allclose(
         b["data_gan"][0], b["data"][0].astype(np.float32) / 127.5 - 1.0, atol=1e-5
     )
+    # generator noise blob (gt_single_data_layer/minibatch.py:320)
+    assert b["gan_z"].shape == (1, 100)
+    assert b["gan_z"].dtype == np.float32
+    assert b["gan_z"].min() >= -1.0 and b["gan_z"].max() <= 1.0
 
 
 def test_rescale_points_reference_semantics():

@@ -127,6 +127,7 @@ def main():
         clip_grad_norm=cfg.TRAIN.GRAD_CLIP,
         margin=cfg.TRAIN.POSE_MARGIN,
         pose_norm_valid=cfg.TRAIN.POSE_NORM_VALID,
+        matching_w=1.0 if cfg.TRAIN.MATCHING else 0.0,
     )
     mcfg = MinibatchConfig(
         num_classes=imdb.num_classes,
