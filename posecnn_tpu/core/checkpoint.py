@@ -161,6 +161,34 @@ def restore_checkpoint(path: str, target_state):
         return (restored["params"], opt_state, restored["step"])
 
 
+def load_params_npz(path: str, params, log=None):
+    """Load a params pytree from any of this repo's npz layouts: a full
+    train-state snapshot (keys prefixed `['params']`), a params-only export
+    (bare `['conv1_1']['weights']` keys, possibly f16). Missing keys keep
+    their initialized values; dtypes are cast to the target leaf's."""
+    data = np.load(path)
+    flat, treedef = jax.tree_util.tree_flatten_with_path(params)
+    out = []
+    n = 0
+    for kp, leaf in flat:
+        key = jax.tree_util.keystr(kp)
+        arr = None
+        if "['params']" + key in data:
+            arr = data["['params']" + key]
+        elif key in data:
+            arr = data[key]
+        if arr is not None and tuple(arr.shape) == tuple(leaf.shape):
+            out.append(jnp.asarray(arr, dtype=leaf.dtype))
+            n += 1
+        else:
+            out.append(leaf)
+            if log and arr is not None:
+                log(f"shape mismatch, skipping {key}")
+    if log:
+        log(f"restored {n}/{len(flat)} tensors from {path}")
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
 # ---------------------------------------------------------------------------
 # Legacy weight converters
 # ---------------------------------------------------------------------------

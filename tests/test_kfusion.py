@@ -107,3 +107,57 @@ def test_video_eval_with_kfusion():
     assert len(ev.surfaces) == 1
     pts, labels = ev.surfaces[0]
     assert pts.ndim == 2 and pts.shape[1] == 3
+
+
+def test_marching_tetrahedra_sphere():
+    """Mesh extraction on an analytic sphere SDF: triangles on the surface,
+    consistent with the radius, fixed output shapes."""
+    from posecnn_tpu.engine.kfusion import marching_tetrahedra
+
+    G, vs = 32, 0.05
+    vol = create_volume(G, origin=(-0.8, -0.8, -0.8), voxel_size=vs)
+    gi = np.stack(np.meshgrid(*[np.arange(G)] * 3, indexing="ij"), -1)
+    pts = np.asarray(vol.origin) + gi * vs
+    r = np.linalg.norm(pts, axis=-1)
+    sdf = np.clip((r - 0.5) / vol.truncation, -1, 1).astype(np.float32)
+    vol = vol.__class__(
+        sdf=jnp.asarray(sdf), weight=jnp.ones((G, G, G), jnp.float32),
+        origin=vol.origin, voxel_size=vs, truncation=vol.truncation,
+        class_prob=None,
+    )
+    tris, valid, labels = marching_tetrahedra(vol, max_cells=8192)
+    tris, valid = np.asarray(tris), np.asarray(valid)
+    assert tris.shape == (8192 * 12, 3, 3) and valid.shape == (8192 * 12,)
+    v = tris[valid]
+    assert v.shape[0] > 500  # a 0.5m sphere in a 32^3 grid has ~2-5K tris
+    # every vertex lies on the zero level set to within a voxel
+    rr = np.linalg.norm(v.reshape(-1, 3), axis=-1)
+    assert np.abs(rr - 0.5).max() < vs
+    # triangles are non-degenerate (distinct vertices)
+    e1 = np.linalg.norm(v[:, 1] - v[:, 0], axis=-1)
+    e2 = np.linalg.norm(v[:, 2] - v[:, 0], axis=-1)
+    assert (e1 > 1e-6).all() and (e2 > 1e-6).all()
+    # total mesh area approximates the sphere area 4*pi*r^2 (within 20%)
+    n = np.cross(v[:, 1] - v[:, 0], v[:, 2] - v[:, 0])
+    area = 0.5 * np.linalg.norm(n, axis=-1).sum()
+    assert abs(area - 4 * np.pi * 0.25) / (4 * np.pi * 0.25) < 0.2
+
+
+def test_marching_tetrahedra_labels_from_class_grid():
+    from posecnn_tpu.engine.kfusion import marching_tetrahedra
+
+    G, vs, C = 16, 0.1, 3
+    vol = create_volume(G, origin=(-0.8, -0.8, -0.8), voxel_size=vs, num_classes=C)
+    gi = np.stack(np.meshgrid(*[np.arange(G)] * 3, indexing="ij"), -1)
+    pts = np.asarray(vol.origin) + gi * vs
+    sdf = np.clip((np.linalg.norm(pts, axis=-1) - 0.4) / vol.truncation, -1, 1)
+    cp = np.zeros((G, G, G, C), np.float32)
+    cp[..., 2] = 1.0  # every voxel votes class 2
+    vol = vol.__class__(
+        sdf=jnp.asarray(sdf.astype(np.float32)), weight=jnp.ones((G, G, G), jnp.float32),
+        origin=vol.origin, voxel_size=vs, truncation=vol.truncation,
+        class_prob=jnp.asarray(cp),
+    )
+    tris, valid, labels = marching_tetrahedra(vol, max_cells=2048)
+    labels, valid = np.asarray(labels), np.asarray(valid)
+    assert (labels[valid] == 2).all()

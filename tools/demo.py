@@ -27,6 +27,7 @@ def parse_args():
     )
     parser.add_argument("--output", default="output/demo")
     parser.add_argument("--visualize", action="store_true")
+    parser.add_argument("--device", default="tpu", help="device to use (tpu/cpu)")
     return parser.parse_args()
 
 
@@ -39,6 +40,9 @@ def main():
     args = parse_args()
     import cv2
     import jax
+
+    if args.device and args.device != "tpu":
+        jax.config.update("jax_platforms", args.device)
     import jax.numpy as jnp
 
     from posecnn_tpu.core.config import cfg, cfg_from_file
@@ -62,23 +66,48 @@ def main():
             from posecnn_tpu.core.checkpoint import load_vgg16_npy
 
             params = load_vgg16_npy(args.model, params, log=print)
+        elif args.model.endswith(".npz"):
+            from posecnn_tpu.core.checkpoint import load_params_npz
+
+            params = load_params_npz(args.model, params, log=print)
         else:
             from posecnn_tpu.core.checkpoint import load_tf1_checkpoint
 
             params = load_tf1_checkpoint(args.model, params, log=print)
 
     infer = make_inference_fn(model_cfg, cfg.pixel_means())
-    extents = jnp.ones((22, 3), jnp.float32) * 0.1
+    # real YCB extents when the dataset assets are present (hough box
+    # thresholds + 3D box visualization); uniform 10 cm cubes otherwise
+    try:
+        from posecnn_tpu.data.factory import get_imdb
+
+        extents = jnp.asarray(get_imdb("lov_syn_train").extents, jnp.float32)
+    except Exception:
+        extents = jnp.ones((22, 3), jnp.float32) * 0.1
     meta = jnp.asarray(build_meta_data(DEMO_K)[None])
 
     os.makedirs(args.output, exist_ok=True)
+    visualizer = None
+    if args.visualize or cfg.TEST.VISUALIZE:
+        from posecnn_tpu.engine.visualize import PredictionVisualizer
+
+        visualizer = PredictionVisualizer(
+            args.output, YCB_CLASSES, np.asarray(extents)
+        )
     frames = sorted(glob.glob(os.path.join(args.images, "*-color.png")))
     print(f"{len(frames)} demo frames")
-    for path in frames:
+    for fi, path in enumerate(frames):
         im = cv2.imread(path, cv2.IMREAD_COLOR)
         out = jax.device_get(infer(params, jnp.asarray(im[None]), meta, extents))
         rois, poses = postprocess_detections(out)
         name = os.path.basename(path).replace("-color.png", "")
+        if visualizer is not None:
+            from types import SimpleNamespace
+
+            visualizer(
+                fi, SimpleNamespace(color=im, intrinsic_matrix=DEMO_K),
+                out, rois, poses,
+            )
         label = out["label_2d"][0]
         # colorized label map artifact
         vis = np.zeros(label.shape + (3,), dtype=np.uint8)
