@@ -17,7 +17,32 @@ import time
 import numpy as np
 
 
+def _tunnel_reachable(timeout_s: float = 3.0) -> bool:
+    """Fast-fail guard: the axon TPU terminal retries its claim forever when
+    the tunnel endpoint is down, which would hang the whole benchmark. Probe
+    the terminal port first and emit an error JSON line instead of hanging."""
+    import os
+    import socket
+
+    if os.environ.get("JAX_PLATFORMS", "axon") != "axon":
+        return True  # non-tunneled platform
+    for port in (8082, 8083):
+        try:
+            with socket.create_connection(("127.0.0.1", port), timeout=timeout_s):
+                return True
+        except OSError:
+            continue
+    return False
+
+
 def main():
+    if not _tunnel_reachable():
+        print(json.dumps({
+            "metric": "inference_fps_per_chip", "value": 0.0,
+            "unit": "frames/sec", "vs_baseline": 0.0,
+            "error": "tpu tunnel unreachable (terminal ports 8082/8083 refused)",
+        }))
+        return
     import jax
     import jax.numpy as jnp
 
