@@ -24,8 +24,8 @@ def _tunnel_reachable(timeout_s: float = 3.0) -> bool:
     import os
     import socket
 
-    if os.environ.get("JAX_PLATFORMS", "axon") != "axon":
-        return True  # non-tunneled platform
+    if os.environ.get("JAX_PLATFORMS") != "axon":
+        return True  # not the tunneled backend (or JAX auto-selects)
     for port in (8082, 8083):
         try:
             with socket.create_connection(("127.0.0.1", port), timeout=timeout_s):

@@ -145,7 +145,11 @@ class TestConfig:
     POSE_REFINE: bool = False
     SYNTHETIC: bool = False
     VOTING_THRESHOLD: float = -1.0
-    SCALES_BASE: Tuple[float, ...] = (0.25, 0.5, 1.0, 2.0, 3.0)
+    # the reference code-default is (0.25, 0.5, 1.0, 2.0, 3.0), but its test
+    # driver asserts len == 1 (lib/fcn/test.py:63) and every shipped config
+    # pins TEST.SCALES_BASE to [1.0] — default to the effective behavior so
+    # configs that omit the key don't silently evaluate at quarter scale
+    SCALES_BASE: Tuple[float, ...] = (1.0,)
     GRID_SIZE: int = 256
     RPN_NMS_THRESH: float = 0.7
     RPN_PRE_NMS_TOP_N: int = 6000

@@ -115,14 +115,29 @@ def _refine_jit(rois, poses, depth_m, label, points_all, meta, iters=20, max_poi
     )
 
 
+@functools.partial(jax.jit, static_argnames=("max_points",))
+def _refine_translation_jit(rois, poses, depth_m, label, meta, max_points=512):
+    """Vmapped depth-median translation fix over the padded detection rows —
+    one dispatch per frame instead of one sample+refine pair per detection
+    (each eager dispatch is a full round trip on tunneled platforms)."""
+    from posecnn_tpu.engine.refine import refine_translation, sample_object_cloud
+
+    fx, px, fy, py = meta[0], meta[2], meta[4], meta[5]
+
+    def one(roi, pose):
+        cls = roi[1].astype(jnp.int32)
+        tgt, tv = sample_object_cloud(depth_m, label, cls, fx, fy, px, py, max_points)
+        return refine_translation(pose[:4], pose[4:7], tgt, tv)
+
+    return jax.vmap(one)(rois, poses)
+
+
 def refine_poses(rois, poses, depth_m, label, points_all, meta, max_det: int = MAX_REFINE_DETS):
     """Host wrapper: pad the post-NMS detections to a static row count, run
     the vmapped Gauss-Newton ICP in one jit call, return (poses_refined,
     poses_icp). poses_refined is the cheap depth-median translation fix (the
     reference's 'poses_new'); poses_icp is the full ICP result
     (lib/fcn/test.py:1335-1351 -> synthesize.cpp:2052-2200)."""
-    from posecnn_tpu.engine.refine import refine_translation, sample_object_cloud
-
     R = rois.shape[0]
     k = min(R, max_det)
     rois_p = np.zeros((max_det, rois.shape[1]), np.float32)
@@ -136,17 +151,15 @@ def refine_poses(rois, poses, depth_m, label, points_all, meta, max_det: int = M
             jnp.asarray(label), points_all, jnp.asarray(meta),
         )
     )[:k]
-    # translation-only refinement for the poses_new column
-    fx, px, fy, py = meta[0], meta[2], meta[4], meta[5]
+    # translation-only refinement for the poses_new column (one jit call)
     poses_new = poses.copy()
-    for j in range(k):
-        cls = int(rois[j, 1])
-        tgt, tv = sample_object_cloud(
-            jnp.asarray(depth_m), jnp.asarray(label), cls, fx, fy, px, py, 512
+    trans_new = np.asarray(
+        _refine_translation_jit(
+            jnp.asarray(rois_p), jnp.asarray(poses_p), jnp.asarray(depth_m),
+            jnp.asarray(label), jnp.asarray(meta, jnp.float32),
         )
-        poses_new[j, 4:7] = np.asarray(
-            refine_translation(jnp.asarray(poses[j, :4]), jnp.asarray(poses[j, 4:7]), tgt, tv)
-        )
+    )[:k]
+    poses_new[:k, 4:7] = trans_new
     poses_icp = poses.copy()
     poses_icp[:k, :7] = refined
     return poses_new, poses_icp
@@ -237,10 +250,12 @@ def test_net(
     for i in range(n):
         frame = dataset.load_frame(i)
         color = frame.color
+        scaled_hw = None  # content region before x16 padding, (H, W)
         if im_scale != 1.0:
             color = cv2.resize(
                 color, None, None, fx=im_scale, fy=im_scale, interpolation=cv2.INTER_LINEAR
             )
+            scaled_hw = color.shape[:2]
             from posecnn_tpu.utils.blob import pad_im
 
             color = pad_im(color, 16)  # trunk needs x16 dims (blob.py pad)
@@ -252,15 +267,32 @@ def test_net(
         timer.tic()
         out = jax.device_get(infer(params, raw, meta, extents))
         timer.toc(average=False)
+        H0, W0 = frame.color.shape[:2]
         if model_cfg.vertex_reg_3d:
-            # RANSAC branch: pose from object-coordinate + depth correspondences
+            # RANSAC branch: pose from object-coordinate + depth correspondences.
+            # Depth and K are dataset-resolution, so when the input was
+            # rescaled the predicted maps are cropped (x16 padding off) and
+            # resized back to the dataset frame before decoding.
             depth3d = (
                 frame.depth.astype(np.float32) / float(frame.factor_depth)
                 if frame.depth is not None
                 else np.zeros(frame.label.shape, np.float32)
             )
+            out3d = out
+            if scaled_hw is not None:
+                hs, ws = scaled_hw
+                lab = np.asarray(out["label_2d"][0])[:hs, :ws]
+                vp = np.asarray(out["vertex_pred"][0], np.float32)[:hs, :ws]
+                out3d = {
+                    "label_2d": cv2.resize(
+                        lab.astype(np.int32), (W0, H0), interpolation=cv2.INTER_NEAREST
+                    )[None],
+                    "vertex_pred": cv2.resize(
+                        vp, (W0, H0), interpolation=cv2.INTER_LINEAR
+                    )[None],
+                }
             rois, poses = decode_poses_3d(
-                out, depth3d, build_meta_data(frame.intrinsic_matrix),
+                out3d, depth3d, build_meta_data(frame.intrinsic_matrix),
                 np.asarray(dataset._extents), model_cfg.num_classes,
                 label_threshold=model_cfg.label_threshold, seed=i,
             )
@@ -268,13 +300,16 @@ def test_net(
             rois, poses = postprocess_detections(out, nms_threshold, reference_nms_bug)
         label_pred = out["label_2d"][0]
         if im_scale != 1.0:
-            # predictions live in scaled-image coordinates: bring the label
-            # map and boxes back to the dataset frame for evaluation
+            # predictions live in scaled-image coordinates: crop off the x16
+            # padding, then bring the label map and boxes back to the dataset
+            # frame for evaluation
+            if scaled_hw is not None:
+                label_pred = np.asarray(label_pred)[: scaled_hw[0], : scaled_hw[1]]
             label_pred = cv2.resize(
-                label_pred.astype(np.int32), (frame.color.shape[1], frame.color.shape[0]),
+                np.asarray(label_pred).astype(np.int32), (W0, H0),
                 interpolation=cv2.INTER_NEAREST,
             )
-            if rois.shape[0]:
+            if rois.shape[0] and not model_cfg.vertex_reg_3d:
                 rois = rois.copy()
                 rois[:, 2:6] /= im_scale
         poses_refined = poses_icp = None

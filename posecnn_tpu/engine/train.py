@@ -127,6 +127,7 @@ def compute_losses(
     rng: jax.Array,
     forward_fn: Optional[Callable] = None,
     ce_threshold: Optional[float] = None,
+    points_raw: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """forward_fn defaults to the flagship posecnn_forward; pass
     posecnn_full_forward (same endpoint dict contract) to train vgg16_full.
@@ -222,7 +223,10 @@ def compute_losses(
                     out["poses_weight"],
                     out["poses_init"],
                     out["rois"],
-                    points,
+                    # raw meter-scale clouds: the render projects through the
+                    # real camera intrinsics, so the ADD loss's rescaled
+                    # points (10x-160x) would splat far outside the ROI
+                    points if points_raw is None else points_raw,
                     batch["meta_data"][0],
                     model_cfg.num_classes,
                 )
@@ -250,6 +254,7 @@ def make_train_step(
     donate: bool = True,
     forward_fn: Optional[Callable] = None,
     ce_threshold: Optional[float] = None,
+    points_raw: Optional[jnp.ndarray] = None,
 ) -> Callable:
     """Build the jitted, mesh-sharded train step.
 
@@ -264,7 +269,7 @@ def make_train_step(
         (loss, losses), grads = jax.value_and_grad(
             compute_losses, has_aux=True
         )(params, model_cfg, hp, batch, points, symmetry, extents, rng,
-          forward_fn, ce_threshold)
+          forward_fn, ce_threshold, points_raw)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         losses["lr"] = sched(step)
@@ -336,6 +341,7 @@ class Solver:
         forward_fn=None,
         ce_threshold=None,
         snapshot_format: str = "npz",
+        points_raw=None,
     ):
         self.model_cfg = model_cfg
         self.hp = hp
@@ -353,6 +359,7 @@ class Solver:
         self.step_fn = make_train_step(
             model_cfg, hp, self.mesh, self.points, self.symmetry, self.extents,
             forward_fn=forward_fn, ce_threshold=ce_threshold,
+            points_raw=None if points_raw is None else jnp.asarray(points_raw),
         )
         from posecnn_tpu.core.metrics import MetricsLogger
 

@@ -67,32 +67,46 @@ def initialize(
     )
 
 
+# per-image blob keys that shard over the data axis — the same set the
+# jitted train step's batch_shardings uses. Everything else ('poses' rows,
+# points/symmetry tables, ...) is replicated: a shape that merely happens to
+# divide the data axis must NOT be treated as a local shard (e.g. 'poses'
+# (max_gt,13) would concatenate into (P*max_gt,13) and break the step).
+DATA_SHARDED_KEYS = (
+    "data", "data_p", "data_gan", "gan_z", "gt_label_2d",
+    "vertex_targets", "vertex_weights", "vertex_targets3", "vertex_weights3",
+    "meta_data", "gt_centers",
+)
+
+
 def global_batch_from_local(mesh, batch: Dict[str, np.ndarray], batch_keys=None) -> Dict:
     """Assemble global jax.Arrays from per-process local shards.
 
     batch: this process's slice of the batch (leading axis = local batch).
-    Arrays whose key is in `batch_keys` (default: every array whose leading
-    axis is divisible by the local data-axis share) become data-sharded
-    global arrays via `jax.make_array_from_process_local_data`; everything
-    else is replicated. The result feeds the same jitted train step as the
-    single-host path."""
+    Arrays whose key is in `batch_keys` (default: DATA_SHARDED_KEYS, the
+    per-image blobs the train step shards) become data-sharded global arrays
+    via `jax.make_array_from_process_local_data`; everything else is
+    replicated. The result feeds the same jitted train step as the
+    single-host path.
+
+    NOTE the replicated blobs must be process-identical. 'poses' rows carry
+    batch indices in column 0 that refer to the *global* batch — multi-host
+    pipelines should use the compact per-image 'gt_centers'/device-target
+    path (the default), where no cross-image index blob exists."""
     import jax
 
     from posecnn_tpu.parallel.mesh import batch_sharding, replicated
 
     bsh = batch_sharding(mesh)
     repl = replicated(mesh)
+    keys = DATA_SHARDED_KEYS if batch_keys is None else batch_keys
     out = {}
     for k, v in batch.items():
         v = np.asarray(v)
-        share = (batch_keys is None and v.ndim >= 1) or (batch_keys is not None and k in batch_keys)
-        if share:
-            try:
-                out[k] = jax.make_array_from_process_local_data(bsh, v)
-                continue
-            except ValueError:
-                pass  # shape not divisible — replicate
-        out[k] = jax.make_array_from_process_local_data(repl, v)
+        if k in keys:
+            out[k] = jax.make_array_from_process_local_data(bsh, v)
+        else:
+            out[k] = jax.make_array_from_process_local_data(repl, v)
     return out
 
 

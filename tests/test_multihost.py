@@ -33,9 +33,14 @@ WORKER = textwrap.dedent(
     mesh = make_mesh(MeshSpec(data=4, model=1))
     assert process_local_batch_size(mesh, 8) == 4
 
-    # each process contributes its local half of a global batch of 8 rows
+    # each process contributes its local half of a global batch of 8 rows.
+    # keys outside DATA_SHARDED_KEYS replicate (a 'poses' table whose rows
+    # merely divide the data axis must not be concatenated), so the custom
+    # key is named explicitly; 'poses' round-trips as replicated.
     local = np.arange(4 * 3, dtype=np.float32).reshape(4, 3) + 100 * pid
-    batch = global_batch_from_local(mesh, {"x": local})
+    poses = np.ones((6, 13), np.float32)
+    batch = global_batch_from_local(mesh, {"x": local, "poses": poses}, batch_keys=("x",))
+    assert batch["poses"].shape == (6, 13), batch["poses"].shape
 
     import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P

@@ -19,6 +19,7 @@ def parse_args():
     parser.add_argument("--imdb", dest="imdb_name", default="toy_val")
     parser.add_argument("--network", dest="network_name", default="vgg16_convs")
     parser.add_argument("--max_frames", type=int, default=None)
+    parser.add_argument("--output", default=None, help="output dir override")
     parser.add_argument(
         "--vis", action="store_true",
         help="write prediction overlays (TEST.VISUALIZE) under the output dir",
@@ -77,7 +78,7 @@ def main():
             nms_threshold=cfg.TEST.NMS,
         )
         summary = evaluator.summary()
-        out_dir = get_output_dir(imdb.name, "vgg16_det")
+        out_dir = args.output or get_output_dir(imdb.name, "vgg16_det")
         import json
         import os
 
@@ -126,12 +127,12 @@ def main():
     # LINEMOD protocol: 0.1 x diameter thresholds + eggbox/glue z-flip for
     # the reprojection metric (linemod.py:411-413,503-507)
     diameters = getattr(imdb, "diameters", None)
-    flip_z = [c for c in ("eggbox",) if c in imdb.classes]
+    flip_z = [c for c in ("eggbox", "glue") if c in imdb.classes]
     evaluator = PoseEvaluator(
         imdb.classes, imdb._extents, imdb._points, sym,
         diameters=diameters, flip_z_classes=flip_z,
     )
-    out_dir = get_output_dir(imdb.name, args.network_name)
+    out_dir = args.output or get_output_dir(imdb.name, args.network_name)
     import json
     import os
 

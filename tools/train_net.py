@@ -241,6 +241,9 @@ def main():
     solver = Solver(
         model_cfg, hp,
         points=loss_points,
+        # raw meter-scale clouds for the render-and-compare matching loss
+        # (projects through real intrinsics; rescaled points would miss the ROI)
+        points_raw=np.asarray(layer.dataset._points_all, np.float32),
         symmetry=layer.dataset._symmetry,
         extents=layer.dataset._extents,
         output_dir=output_dir,
