@@ -32,11 +32,18 @@ def make_inference_fn(
     model_cfg: PoseCNNConfig,
     pixel_means: Tuple[float, float, float],
     forward_fn=None,
+    full_outputs: bool = False,
 ):
     """Returns a jitted fn: (params, raw_bgr_u8 (B,H,W,3), meta (B,48)) -> outputs.
 
     forward_fn defaults to posecnn_forward; pass posecnn_full_forward (same
-    endpoint contract) to evaluate vgg16_full."""
+    endpoint contract) to evaluate vgg16_full.
+
+    Only the outputs the eval path consumes are returned (device->host
+    transfers dominate per-frame eval cost on tunneled hosts: the unused
+    prob_normalized + vertex_pred maps are ~110 MB/frame at 640x480/C=22 vs
+    ~1 MB for label + detections). `full_outputs=True` restores the dense
+    probability and vertex maps for callers that inspect them."""
     cfg = replace(model_cfg, is_train=False, keep_prob=1.0)
     means = jnp.asarray(pixel_means, jnp.float32).reshape(1, 1, 1, 3)
     forward = forward_fn if forward_fn is not None else posecnn_forward
@@ -45,12 +52,13 @@ def make_inference_fn(
     def infer(params, raw_bgr, meta, extents):
         data = raw_bgr.astype(jnp.float32) - means
         out = forward(params, cfg, data, extents, meta)
-        keep = {
-            "label_2d": out["label_2d"],
-            "prob_normalized": out["prob_normalized"],
-        }
+        keep = {"label_2d": out["label_2d"]}
+        if full_outputs:
+            keep["prob_normalized"] = out["prob_normalized"]
         if cfg.vertex_reg:
-            keep["vertex_pred"] = out["vertex_pred"]
+            if cfg.vertex_reg_3d or full_outputs:
+                # the 3D RANSAC decode consumes the object-coordinate map
+                keep["vertex_pred"] = out["vertex_pred"]
             if not cfg.vertex_reg_3d:  # hough outputs only exist in 2D mode
                 keep.update(
                     rois=out["rois"],
