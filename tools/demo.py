@@ -28,6 +28,10 @@ def parse_args():
     parser.add_argument("--output", default="output/demo")
     parser.add_argument("--visualize", action="store_true")
     parser.add_argument("--device", default="tpu", help="device to use (tpu/cpu)")
+    parser.add_argument(
+        "--refine", action="store_true",
+        help="ICP pose refinement against NNNNNN-depth.png (TEST.POSE_REFINE)",
+    )
     return parser.parse_args()
 
 
@@ -96,11 +100,34 @@ def main():
         )
     frames = sorted(glob.glob(os.path.join(args.images, "*-color.png")))
     print(f"{len(frames)} demo frames")
+    refine = args.refine or cfg.TEST.POSE_REFINE
+    points_all = None
+    if refine:
+        try:
+            from posecnn_tpu.data.factory import get_imdb
+
+            points_all = jnp.asarray(get_imdb("lov_syn_train")._points_all, jnp.float32)
+        except Exception:
+            refine = False
+            print("POSE_REFINE disabled: dataset model points unavailable")
     for fi, path in enumerate(frames):
         im = cv2.imread(path, cv2.IMREAD_COLOR)
         out = jax.device_get(infer(params, jnp.asarray(im[None]), meta, extents))
         rois, poses = postprocess_detections(out)
         name = os.path.basename(path).replace("-color.png", "")
+        poses_icp = None
+        depth_path = path.replace("-color.png", "-depth.png")
+        if refine and rois.shape[0] and os.path.exists(depth_path):
+            # reference demo: factor_depth 10000 for the YCB 16-bit PNGs
+            # (tools/demo.py:101), ICP under TEST.POSE_REFINE
+            from posecnn_tpu.data.minibatch import build_meta_data as _bmd
+            from posecnn_tpu.engine.test import refine_poses
+
+            depth_m = cv2.imread(depth_path, cv2.IMREAD_UNCHANGED).astype(np.float32) / 10000.0
+            _, poses_icp = refine_poses(
+                rois, poses, depth_m, np.asarray(out["label_2d"][0]),
+                points_all, _bmd(DEMO_K),
+            )
         if visualizer is not None:
             from types import SimpleNamespace
 
@@ -124,6 +151,10 @@ def main():
             }
             for r, p in zip(rois, poses)
         ]
+        if poses_icp is not None:
+            for d, p in zip(dets, poses_icp):
+                d["pose_quat_wxyz_icp"] = [float(v) for v in p[:4]]
+                d["pose_t_icp"] = [float(v) for v in p[4:7]]
         with open(os.path.join(args.output, f"{name}-dets.json"), "w") as f:
             json.dump(dets, f, indent=2)
         print(name, f"{len(dets)} detections")
