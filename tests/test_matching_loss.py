@@ -152,3 +152,53 @@ def test_chamfer_matching_loss_still_zero_at_gt():
     q = _quat([0, 0, 1], 0.2)
     t = jnp.asarray([0.0, 0.0, 0.5], jnp.float32)
     assert float(matching_loss(q, t, q, t, pts, INTR)) < 1e-5
+
+
+def test_add_loss_trains_rotation_with_rescaled_points():
+    """Learning-dynamics regression for the inert-pose-head bug: optimizing
+    a quaternion through the real ADD loss with the training configuration
+    (RESCALED points per minibatch.py:49-63, margin 1e-4, momentum SGD at the
+    reference lr) must reduce rotation error; with raw meter-scale points the
+    squared-distance hinge leaves no usable gradient and the rotation stays
+    where it started (the round-1 failure: median 130 deg at 30K iters)."""
+    import optax
+
+    from posecnn_tpu.data.minibatch import rescale_points
+    from posecnn_tpu.ops.add_loss import average_distance_loss
+    from posecnn_tpu.utils.pose_error import re as rot_err
+    from posecnn_tpu.utils.quaternion_np import quat2mat
+
+    rng = np.random.RandomState(0)
+    C, P = 4, 128
+    raw_pts = rng.uniform(-0.05, 0.05, (C, P, 3)).astype(np.float32)
+    extents = np.abs(raw_pts).max(1) * 2
+    sym = np.zeros(C, np.float32)
+    qgt = np.array([np.cos(0.6), np.sin(0.6), 0, 0], np.float32)  # ~69 deg off
+    tgt = np.zeros((8, 4 * C), np.float32)
+    w = np.zeros((8, 4 * C), np.float32)
+    tgt[:, 4:8] = qgt
+    w[:, 4:8] = 1.0
+    tgt, w, symj = jnp.asarray(tgt), jnp.asarray(w), jnp.asarray(sym)
+
+    def final_err(points, margin, steps=800):
+        pred0 = np.zeros((8, 4 * C), np.float32)
+        pred0[:, 4:8] = [1, 0, 0, 0]
+        pred = jnp.asarray(np.arctanh(np.clip(pred0, -0.999, 0.999)))
+        tx = optax.sgd(0.001, momentum=0.9)
+        st = tx.init(pred)
+        g = jax.jit(jax.value_and_grad(
+            lambda p: average_distance_loss(jnp.tanh(p), tgt, w, points, symj, margin)
+        ))
+        for _ in range(steps):
+            _, gr = g(pred)
+            up, st = tx.update(gr, st)
+            pred = optax.apply_updates(pred, up)
+        q = np.tanh(np.asarray(pred[0, 4:8]))
+        q = q / np.linalg.norm(q)
+        return rot_err(quat2mat(q.astype(np.float64)), quat2mat(qgt.astype(np.float64)))
+
+    scaled = jnp.asarray(rescale_points(raw_pts, extents, sym))
+    err_scaled = final_err(scaled, 1e-4)
+    err_raw = final_err(jnp.asarray(raw_pts), 0.01)
+    assert err_scaled < 35.0, err_scaled        # trains
+    assert err_raw > 60.0, err_raw             # the old setup demonstrably doesn't
