@@ -144,7 +144,7 @@ def main():
         visualizer = PredictionVisualizer(
             os.path.join(out_dir, "vis"), imdb.classes, imdb._extents
         )
-    test_net(
+    results = test_net(
         params, model_cfg, imdb, cfg.pixel_means(),
         evaluator=evaluator, max_frames=args.max_frames,
         forward_fn=forward_fn,
@@ -153,6 +153,17 @@ def main():
         visualizer=visualizer,
         reference_nms_bug=cfg.TEST.REFERENCE_NMS_BUG,
     )
+    # per-frame detection artifacts for offline analysis — the reference
+    # writes one .mat per frame (lov.py:432-439); one consolidated npz here
+    import numpy as _np
+
+    arrays = {}
+    for fi, r in enumerate(results):
+        for k, v in r.items():
+            if v is not None:
+                arrays[f"{fi:06d}_{k}"] = _np.asarray(v)
+    os.makedirs(out_dir, exist_ok=True)
+    _np.savez_compressed(os.path.join(out_dir, "detections.npz"), **arrays)
     summary = evaluator.summary()
     with open(os.path.join(out_dir, "eval_summary.json"), "w") as f:
         json.dump(summary, f, indent=2)
