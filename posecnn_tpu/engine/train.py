@@ -421,9 +421,22 @@ class Solver:
         metrics = None
         it = start_iter
         last_snap = -1
+        # double-buffered device prefetch: ship batch i+1 to the device
+        # (async jax.device_put) while step i computes, overlapping H2D
+        # transfer with compute — the reference overlaps via its FIFOQueue
+        # enqueue thread (lib/fcn/train.py:383-436). Only on a single-device
+        # mesh: multi-device batches carry explicit shardings inside the jit
+        # and an uncommitted device-0 copy would force a reshard.
+        prefetch_dev = self.mesh.devices.size == 1
+        ship = jax.device_put if prefetch_dev else (lambda b: b)
+        batch_dev = None
+        if start_iter < max_iters:
+            batch_dev = ship(next(data_iter))
         try:
             for it in range(start_iter, max_iters):
-                batch = next(data_iter)
+                batch = batch_dev
+                if it + 1 < max_iters:
+                    batch_dev = ship(next(data_iter))
                 self.rng, sub = jax.random.split(self.rng)
                 timer.tic()
                 state, metrics = self.step_fn(state, batch, sub)
