@@ -45,19 +45,25 @@ import jax.numpy as jnp
 
 from posecnn_tpu.utils.quaternion import quat2mat
 
-_CORNER_SIGNS = jnp.array(
+# NumPy (not jnp) on purpose: a module-level jnp.array commits the default
+# backend at import time, before CLIs can select a device — observed as the
+# online CLI hanging on an unreachable TPU tunnel despite --device cpu.
+# jnp ops auto-convert these at trace time.
+import numpy as _np
+
+_CORNER_SIGNS = _np.array(
     [
         [1, 1, 1], [-1, 1, 1], [1, -1, 1], [-1, -1, 1],
         [1, 1, -1], [-1, 1, -1], [1, -1, -1], [-1, -1, -1],
     ],
-    dtype=jnp.float32,
+    dtype=_np.float32,
 )
 
 # jitter offsets, reference order (.cu.cc:470-576): (-1,-1),(1,-1),(-1,1),(1,1),
 # (0,-1),(-1,0),(0,1),(1,0); row 0 is the unjittered box
-_JITTER = jnp.array(
+_JITTER = _np.array(
     [[0, 0], [-1, -1], [1, -1], [-1, 1], [1, 1], [0, -1], [-1, 0], [0, 1], [1, 0]],
-    dtype=jnp.float32,
+    dtype=_np.float32,
 )
 
 

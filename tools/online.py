@@ -36,6 +36,11 @@ DEMO_K = np.array([[1066.778, 0, 312.9869], [0, 1067.487, 241.3109], [0, 0, 1]])
 def build_engine(args):
     import cv2
     import jax
+
+    # select the device BEFORE importing anything that might touch the
+    # default backend
+    if getattr(args, "device", None) and args.device != "tpu":
+        jax.config.update("jax_platforms", args.device)
     import jax.numpy as jnp
 
     from posecnn_tpu.core.config import cfg, cfg_from_file
@@ -46,21 +51,40 @@ def build_engine(args):
 
     if args.cfg_file:
         cfg_from_file(args.cfg_file)
+    # same knob set as tools/test_net.py so the jitted graph (and the
+    # persistent compile cache entry) is shared with the eval CLI
     model_cfg = PoseCNNConfig(
-        num_classes=22, num_units=cfg.TRAIN.NUM_UNITS, vertex_reg=True,
-        pose_reg=True, is_train=False,
+        num_classes=cfg.TRAIN.NUM_CLASSES, num_units=cfg.TRAIN.NUM_UNITS,
+        vertex_reg=True, pose_reg=True, is_train=False,
+        vote_threshold=cfg.TEST.VOTING_THRESHOLD,
         hough_class_slots=cfg.TPU.HOUGH_CLASS_SLOTS,
         hough_max_samples=cfg.TPU.HOUGH_MAX_SAMPLES,
         hough_center_stride=cfg.TPU.HOUGH_CENTER_STRIDE,
+        hough_sampler=cfg.TPU.HOUGH_SAMPLER,
+        hough_pixel_stride=cfg.TPU.HOUGH_PIXEL_STRIDE,
+        skip_pixels=cfg.TPU.HOUGH_SKIP_PIXELS,
+        use_crop_pool=cfg.TPU.USE_CROP_POOL,
     )
     params = init_posecnn_params(jax.random.PRNGKey(cfg.RNG_SEED), model_cfg)
     if args.model:
-        from posecnn_tpu.core.checkpoint import load_tf1_checkpoint, load_vgg16_npy
+        from posecnn_tpu.core.checkpoint import (
+            load_params_npz,
+            load_tf1_checkpoint,
+            load_vgg16_npy,
+        )
 
-        loader = load_vgg16_npy if args.model.endswith(".npy") else load_tf1_checkpoint
-        params = loader(args.model, params)
+        if args.model.endswith(".npy"):
+            params = load_vgg16_npy(args.model, params)
+        elif args.model.endswith(".npz"):
+            params = load_params_npz(args.model, params)
+        else:
+            params = load_tf1_checkpoint(args.model, params)
     infer = make_inference_fn(model_cfg, cfg.pixel_means())
-    extents = jnp.ones((22, 3), jnp.float32) * 0.1
+    C = model_cfg.num_classes
+    class_names = (
+        YCB_CLASSES if C == len(YCB_CLASSES) else [f"class_{i:02d}" for i in range(C)]
+    )
+    extents = jnp.ones((C, 3), jnp.float32) * 0.1
     meta = jnp.asarray(build_meta_data(DEMO_K)[None])
 
     def process(im_bgr: np.ndarray):
@@ -68,7 +92,7 @@ def build_engine(args):
         rois, poses = postprocess_detections(out)
         dets = [
             {
-                "class": YCB_CLASSES[int(r[1])],
+                "class": class_names[int(r[1])],
                 "box": [float(v) for v in r[2:6]],
                 "score": float(r[6]),
                 "quaternion_wxyz": [float(v) for v in p[:4]],
@@ -137,6 +161,7 @@ def main():
     parser.add_argument("--watch", default=None, help="directory to watch for frames")
     parser.add_argument("--serve", type=int, default=None, help="TCP port to serve on")
     parser.add_argument("--once", action="store_true", help="process existing frames then exit")
+    parser.add_argument("--device", default="tpu", help="device to use (tpu/cpu)")
     args = parser.parse_args()
     process = build_engine(args)
     if args.serve:
