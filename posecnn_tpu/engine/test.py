@@ -237,6 +237,7 @@ def test_net(
     im_scale: float = 1.0,
     visualizer=None,
     reference_nms_bug: bool = False,
+    eval_batch: int = 1,
 ):
     """Per-frame evaluation loop (test.py:1154-1467).
 
@@ -244,9 +245,14 @@ def test_net(
     refiner after NMS (reference runs synthesizer.icp_python,
     lib/fcn/test.py:1335-1351). im_scale: TEST.SCALES_BASE input rescale
     (test.py:113-151). visualizer: callable(frame_index, frame, out, rois,
-    poses) for prediction rendering (TEST.VISUALIZE)."""
+    poses) for prediction rendering (TEST.VISUALIZE). eval_batch: frames
+    per inference call — batching amortizes per-dispatch overhead (the
+    throughput serving mode; per-frame results are identical because hough
+    slots and detections are per image)."""
     import cv2
 
+    from posecnn_tpu.data.minibatch import build_meta_data
+    from posecnn_tpu.utils.blob import pad_im
     from posecnn_tpu.utils.timer import Timer
 
     infer = make_inference_fn(model_cfg, pixel_means, forward_fn=forward_fn)
@@ -255,8 +261,8 @@ def test_net(
     timer = Timer()
     n = dataset.num_images if max_frames is None else min(max_frames, dataset.num_images)
     results = []
-    for i in range(n):
-        frame = dataset.load_frame(i)
+
+    def _prep(frame):
         color = frame.color
         scaled_hw = None  # content region before x16 padding, (H, W)
         if im_scale != 1.0:
@@ -264,89 +270,109 @@ def test_net(
                 color, None, None, fx=im_scale, fy=im_scale, interpolation=cv2.INTER_LINEAR
             )
             scaled_hw = color.shape[:2]
-            from posecnn_tpu.utils.blob import pad_im
-
             color = pad_im(color, 16)  # trunk needs x16 dims (blob.py pad)
-        raw = jnp.asarray(color[None])
-        from posecnn_tpu.data.minibatch import build_meta_data
+        return color, scaled_hw, build_meta_data(frame.intrinsic_matrix, im_scale)
 
-        meta_np = build_meta_data(frame.intrinsic_matrix, im_scale)
-        meta = jnp.asarray(meta_np[None])
+    def _slice_batch(out, b):
+        """Per-image view of a batched inference output: dense maps by batch
+        row; detection rows by their batch-index column."""
+        o = {k: v[b : b + 1] for k, v in out.items() if k in ("label_2d", "vertex_pred", "prob_normalized")}
+        if "rois" in out:
+            rois = np.asarray(out["rois"])
+            sel = np.asarray(out["rois_valid"]).astype(bool) & (rois[:, 0].astype(int) == b)
+            o["rois"] = rois[sel]
+            o["rois_valid"] = np.ones(sel.sum(), bool)
+            o["poses_init"] = np.asarray(out["poses_init"])[sel]
+            if "poses_tanh" in out:
+                o["poses_tanh"] = np.asarray(out["poses_tanh"])[sel]
+        return o
+
+    for start in range(0, n, eval_batch):
+        idxs = list(range(start, min(start + eval_batch, n)))
+        frames = [dataset.load_frame(i) for i in idxs]
+        prepped = [_prep(f) for f in frames]
+        pad_count = eval_batch - len(idxs)
+        raw = jnp.asarray(np.stack([p[0] for p in prepped] + [prepped[-1][0]] * pad_count))
+        meta = jnp.asarray(np.stack([p[2] for p in prepped] + [prepped[-1][2]] * pad_count))
         timer.tic()
-        out = jax.device_get(infer(params, raw, meta, extents))
+        out_all = jax.device_get(infer(params, raw, meta, extents))
         timer.toc(average=False)
-        H0, W0 = frame.color.shape[:2]
-        if model_cfg.vertex_reg_3d:
-            # RANSAC branch: pose from object-coordinate + depth correspondences.
-            # Depth and K are dataset-resolution, so when the input was
-            # rescaled the predicted maps are cropped (x16 padding off) and
-            # resized back to the dataset frame before decoding.
-            depth3d = (
-                frame.depth.astype(np.float32) / float(frame.factor_depth)
-                if frame.depth is not None
-                else np.zeros(frame.label.shape, np.float32)
-            )
-            out3d = out
-            if scaled_hw is not None:
-                hs, ws = scaled_hw
-                lab = np.asarray(out["label_2d"][0])[:hs, :ws]
-                vp = np.asarray(out["vertex_pred"][0], np.float32)[:hs, :ws]
-                out3d = {
-                    "label_2d": cv2.resize(
-                        lab.astype(np.int32), (W0, H0), interpolation=cv2.INTER_NEAREST
-                    )[None],
-                    "vertex_pred": cv2.resize(
-                        vp, (W0, H0), interpolation=cv2.INTER_LINEAR
-                    )[None],
-                }
-            rois, poses = decode_poses_3d(
-                out3d, depth3d, build_meta_data(frame.intrinsic_matrix),
-                np.asarray(dataset._extents), model_cfg.num_classes,
-                label_threshold=model_cfg.label_threshold, seed=i,
-            )
-        else:
-            rois, poses = postprocess_detections(out, nms_threshold, reference_nms_bug)
-        label_pred = out["label_2d"][0]
-        if im_scale != 1.0:
-            # predictions live in scaled-image coordinates: crop off the x16
-            # padding, then bring the label map and boxes back to the dataset
-            # frame for evaluation
-            if scaled_hw is not None:
-                label_pred = np.asarray(label_pred)[: scaled_hw[0], : scaled_hw[1]]
-            label_pred = cv2.resize(
-                np.asarray(label_pred).astype(np.int32), (W0, H0),
-                interpolation=cv2.INTER_NEAREST,
-            )
-            if rois.shape[0] and not model_cfg.vertex_reg_3d:
-                rois = rois.copy()
-                rois[:, 2:6] /= im_scale
-        poses_refined = poses_icp = None
-        if pose_refine and frame.depth is not None and rois.shape[0]:
-            depth_m = frame.depth.astype(np.float32) / float(frame.factor_depth)
-            meta_icp = build_meta_data(frame.intrinsic_matrix)  # unscaled K
-            poses_refined, poses_icp = refine_poses(
-                rois, poses, depth_m, label_pred, points_all, meta_icp
-            )
-        results.append({
-            "rois": rois, "poses": poses,
-            "poses_refined": poses_refined, "poses_icp": poses_icp,
-        })
-        if evaluator is not None:
-            evaluator.add_frame(
-                label_pred,
-                frame.label,
-                rois=rois,
-                poses=poses,
-                gt_poses=frame.poses,
-                gt_cls_indexes=frame.cls_indexes,
-                poses_refined=poses_refined,
-                poses_icp=poses_icp,
-                intrinsic_matrix=np.asarray(frame.intrinsic_matrix, np.float64),
-            )
-        if visualizer is not None:
-            visualizer(i, frame, out, rois, poses_icp if poses_icp is not None else poses)
-        if log and (i + 1) % 50 == 0:
-            log(f"frame {i + 1}/{n} {timer.diff:.3f}s")
+        inner = zip(range(len(idxs)), idxs, frames)
+        for b, i, frame in inner:
+            out = _slice_batch(out_all, b) if eval_batch > 1 else out_all
+            scaled_hw = prepped[b][1]
+            H0, W0 = frame.color.shape[:2]
+            if model_cfg.vertex_reg_3d:
+                # RANSAC branch: pose from object-coordinate + depth correspondences.
+                # Depth and K are dataset-resolution, so when the input was
+                # rescaled the predicted maps are cropped (x16 padding off) and
+                # resized back to the dataset frame before decoding.
+                depth3d = (
+                    frame.depth.astype(np.float32) / float(frame.factor_depth)
+                    if frame.depth is not None
+                    else np.zeros(frame.label.shape, np.float32)
+                )
+                out3d = out
+                if scaled_hw is not None:
+                    hs, ws = scaled_hw
+                    lab = np.asarray(out["label_2d"][0])[:hs, :ws]
+                    vp = np.asarray(out["vertex_pred"][0], np.float32)[:hs, :ws]
+                    out3d = {
+                        "label_2d": cv2.resize(
+                            lab.astype(np.int32), (W0, H0), interpolation=cv2.INTER_NEAREST
+                        )[None],
+                        "vertex_pred": cv2.resize(
+                            vp, (W0, H0), interpolation=cv2.INTER_LINEAR
+                        )[None],
+                    }
+                rois, poses = decode_poses_3d(
+                    out3d, depth3d, build_meta_data(frame.intrinsic_matrix),
+                    np.asarray(dataset._extents), model_cfg.num_classes,
+                    label_threshold=model_cfg.label_threshold, seed=i,
+                )
+            else:
+                rois, poses = postprocess_detections(out, nms_threshold, reference_nms_bug)
+            label_pred = out["label_2d"][0]
+            if im_scale != 1.0:
+                # predictions live in scaled-image coordinates: crop off the x16
+                # padding, then bring the label map and boxes back to the dataset
+                # frame for evaluation
+                if scaled_hw is not None:
+                    label_pred = np.asarray(label_pred)[: scaled_hw[0], : scaled_hw[1]]
+                label_pred = cv2.resize(
+                    np.asarray(label_pred).astype(np.int32), (W0, H0),
+                    interpolation=cv2.INTER_NEAREST,
+                )
+                if rois.shape[0] and not model_cfg.vertex_reg_3d:
+                    rois = rois.copy()
+                    rois[:, 2:6] /= im_scale
+            poses_refined = poses_icp = None
+            if pose_refine and frame.depth is not None and rois.shape[0]:
+                depth_m = frame.depth.astype(np.float32) / float(frame.factor_depth)
+                meta_icp = build_meta_data(frame.intrinsic_matrix)  # unscaled K
+                poses_refined, poses_icp = refine_poses(
+                    rois, poses, depth_m, label_pred, points_all, meta_icp
+                )
+            results.append({
+                "rois": rois, "poses": poses,
+                "poses_refined": poses_refined, "poses_icp": poses_icp,
+            })
+            if evaluator is not None:
+                evaluator.add_frame(
+                    label_pred,
+                    frame.label,
+                    rois=rois,
+                    poses=poses,
+                    gt_poses=frame.poses,
+                    gt_cls_indexes=frame.cls_indexes,
+                    poses_refined=poses_refined,
+                    poses_icp=poses_icp,
+                    intrinsic_matrix=np.asarray(frame.intrinsic_matrix, np.float64),
+                )
+            if visualizer is not None:
+                visualizer(i, frame, out, rois, poses_icp if poses_icp is not None else poses)
+            if log and (i + 1) % 50 == 0:
+                log(f"frame {i + 1}/{n} {timer.diff:.3f}s")
     if evaluator is not None and log:
         log(str(evaluator.summary()))
     return results

@@ -66,3 +66,26 @@ def test_eval_3d_at_half_scale_runs(tmp_path):
         evaluator=ev, max_frames=1, im_scale=0.5, log=None,
     )
     assert ev.hist.sum() > 0
+
+
+def test_eval_batch_matches_single_frame():
+    """eval_batch > 1 (throughput serving mode) must produce identical
+    evaluator state to the per-frame path — hough slots and detections are
+    per image, so batching only amortizes dispatch."""
+    imdb = get_imdb("toy_val")
+    cfg = _model_cfg()
+    params = init_posecnn_params(jax.random.PRNGKey(0), cfg)
+    pm = Config().pixel_means()
+
+    ev1 = _evaluator(imdb)
+    run_eval(params, cfg, imdb, pm, evaluator=ev1, max_frames=3, log=None)
+    ev2 = _evaluator(imdb)
+    run_eval(params, cfg, imdb, pm, evaluator=ev2, max_frames=3, eval_batch=2, log=None)
+    np.testing.assert_array_equal(ev1.hist, ev2.hist)
+    for c in range(imdb.num_classes):
+        r1 = sorted(ev1.pose_errors[c], key=lambda r: r.get("err", 0))
+        r2 = sorted(ev2.pose_errors[c], key=lambda r: r.get("err", 0))
+        assert len(r1) == len(r2)
+        for a, b in zip(r1, r2):
+            for k in a:
+                np.testing.assert_allclose(a[k], b[k], rtol=1e-5, err_msg=f"class {c} key {k}")

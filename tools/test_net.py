@@ -21,6 +21,10 @@ def parse_args():
     parser.add_argument("--max_frames", type=int, default=None)
     parser.add_argument("--output", default=None, help="output dir override")
     parser.add_argument(
+        "--eval_batch", type=int, default=1,
+        help="frames per inference call (throughput mode; identical results)",
+    )
+    parser.add_argument(
         "--vis", action="store_true",
         help="write prediction overlays (TEST.VISUALIZE) under the output dir",
     )
@@ -152,6 +156,7 @@ def main():
         im_scale=cfg.TEST.SCALES_BASE[0],
         visualizer=visualizer,
         reference_nms_bug=cfg.TEST.REFERENCE_NMS_BUG,
+        eval_batch=args.eval_batch,
     )
     # per-frame detection artifacts for offline analysis — the reference
     # writes one .mat per frame (lov.py:432-439); one consolidated npz here
