@@ -272,7 +272,7 @@ def composite_background(color: np.ndarray, label: np.ndarray, background: np.nd
 def build_meta_data(K: np.ndarray, im_scale: float = 1.0, flip_x: bool = False) -> np.ndarray:
     K = np.asarray(K, dtype=np.float64) * im_scale
     K[2, 2] = 1
-    Kinv = np.linalg.pinv(np.matrix(K))
+    Kinv = np.linalg.pinv(K)
     mdata = np.zeros(48, dtype=np.float32)
     mdata[0:9] = K.flatten()
     mdata[9:18] = np.asarray(Kinv).flatten()

@@ -47,7 +47,7 @@ class Voxelizer:
     def backproject_camera(im_depth: np.ndarray, intrinsic_matrix: np.ndarray, factor_depth: float = 1.0) -> np.ndarray:
         """Depth image -> (3, H*W) camera-frame points (voxelizer.py:107-140)."""
         depth = im_depth.astype(np.float64) / factor_depth
-        Kinv = np.linalg.inv(np.matrix(intrinsic_matrix))
+        Kinv = np.linalg.inv(np.asarray(intrinsic_matrix, dtype=np.float64))
         height, width = depth.shape
         x, y = np.meshgrid(np.arange(width), np.arange(height))
         ones = np.ones((height, width), dtype=np.float64)
