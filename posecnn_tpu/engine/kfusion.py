@@ -179,7 +179,6 @@ def solve_pose(vol: TSDFVolume, depth: jnp.ndarray, K: jnp.ndarray,
 
     H, W = depth.shape
     # subsample the frame's point cloud
-    ys = jnp.arange(0, H, max(1, H * W // max_points // W + 1))
     stride = max(1, int(np.sqrt(H * W / max_points)))
     d = depth[::stride, ::stride]
     hh, ww = d.shape
@@ -188,6 +187,8 @@ def solve_pose(vol: TSDFVolume, depth: jnp.ndarray, K: jnp.ndarray,
     Xc = (xs[None, :] - K[0, 2]) / K[0, 0] * d
     Yc = (yy[:, None] - K[1, 2]) / K[1, 1] * d
     pts_cam = jnp.stack([Xc, Yc, d], axis=-1).reshape(-1, 3)
+    # depth holes backproject to (0,0,0) — mask them out of the GN solve
+    # or they drag the pose toward aligning the origin cluster
     valid = pts_cam[:, 2] > 0
 
     # surface points from the volume (zero-crossing voxels)
@@ -198,7 +199,7 @@ def solve_pose(vol: TSDFVolume, depth: jnp.ndarray, K: jnp.ndarray,
     q0 = mat2quat(cam2world[:, :3])
     t0 = cam2world[:, 3]
     q, t = icp_refine(q0, t0, pts_cam, surf_pts, surf_valid, iters=iters,
-                      huber_delta=2.0 * vol.voxel_size)
+                      huber_delta=2.0 * vol.voxel_size, model_valid=valid)
     cam2world_new = jnp.concatenate([quat2mat(q), t[:, None]], axis=1)
     return se3_inverse(cam2world_new)
 

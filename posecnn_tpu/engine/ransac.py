@@ -34,8 +34,12 @@ def kabsch(src: jnp.ndarray, dst: jnp.ndarray, weights: jnp.ndarray = None):
     mu_d = jnp.sum(dst * w[:, None], axis=0)
     S = (src - mu_s).T @ ((dst - mu_d) * w[:, None])
     U, _, Vt = jnp.linalg.svd(S)
+    # standard det-sign correction diag(1,1,d); d==0 (rank-deficient
+    # covariance, e.g. all-zero inputs) is clamped to +1 so R stays a
+    # proper rotation instead of a rank-2 projection
     d = jnp.sign(jnp.linalg.det(Vt.T @ U.T))
-    D = jnp.diag(jnp.array([1.0, 1.0, 1.0]) * jnp.array([1.0, 1.0, 0.0]) + jnp.array([0.0, 0.0, 1.0]) * d)
+    d = jnp.where(d == 0, 1.0, d)
+    D = jnp.diag(jnp.stack([jnp.ones_like(d), jnp.ones_like(d), d]))
     R = Vt.T @ D @ U.T
     t = mu_d - R @ mu_s
     return R, t
@@ -108,23 +112,11 @@ def ransac_from_maps(
     predictions (H,W,3 channels for this class), label and depth maps."""
     from posecnn_tpu.engine.refine import sample_object_cloud
 
-    H, W = depth.shape
-    cam, valid = sample_object_cloud(depth, label, cls, fx, fy, px, py, max_points)
-    # gather the matching object coordinates at the same sampled pixels:
-    # redo the sampling index computation (same deterministic order)
-    flat_l = label.reshape(-1)
-    flat_d = depth.reshape(-1)
-    m = (flat_l == cls) & (flat_d > 0)
-    rank = jnp.cumsum(m) - 1
-    total = jnp.maximum(jnp.sum(m), 1)
-    stride = jnp.maximum(total // max_points, 1)
-    take = m & (rank % stride == 0)
-    srank = jnp.cumsum(take) - 1
-    keep = take & (srank < max_points)
-    dest = jnp.where(keep, srank, max_points)
-    idx = jnp.zeros((max_points + 1,), jnp.int32).at[dest].set(
-        jnp.arange(H * W, dtype=jnp.int32), mode="drop"
-    )[:max_points]
+    # one sampling pass returns the pixel indices so the camera points and
+    # the object coordinates are guaranteed to come from the SAME pixels
+    cam, valid, idx = sample_object_cloud(
+        depth, label, cls, fx, fy, px, py, max_points, return_index=True
+    )
     # object coordinates are predicted in the [0,1] extent-normalized frame
     # (VERTEX_REG_3D scaling: v/extent + 0.5, minibatch.py _scale_vertmap) —
     # unscale with the matching inverse (reference _unscale_vertmap)

@@ -22,7 +22,7 @@ correction the reference applies before ICP (test.py poses_new path).
 from __future__ import annotations
 
 from functools import partial
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -36,11 +36,17 @@ def sample_object_cloud(
     cls: jnp.ndarray,
     fx, fy, px, py,
     max_points: int = 512,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    return_index: bool = False,
+):
     """Backproject up to max_points depth pixels of class `cls`.
 
-    Returns (points (max_points,3), valid (max_points,)). Deterministic
-    stride sampling in row-major order (like hough pixel sampling).
+    Returns (points (max_points,3), valid (max_points,)) — plus the flat
+    pixel index (max_points,) with `return_index` (so callers pairing other
+    per-pixel maps, e.g. the 3D object-coordinate RANSAC, gather the SAME
+    pixels). Deterministic stride sampling in row-major order (like hough
+    pixel sampling); the stride rounds UP so the sample spans the whole
+    object instead of truncating its bottom rows when the class-pixel count
+    is not a multiple of max_points.
     """
     H, W = depth.shape
     flat_d = depth.reshape(-1)
@@ -48,7 +54,7 @@ def sample_object_cloud(
     m = (flat_l == cls) & (flat_d > 0)
     rank = jnp.cumsum(m) - 1
     total = jnp.maximum(jnp.sum(m), 1)
-    stride = jnp.maximum(total // max_points, 1)
+    stride = jnp.maximum((total + max_points - 1) // max_points, 1)
     take = m & (rank % stride == 0)
     srank = jnp.cumsum(take) - 1
     keep = take & (srank < max_points)
@@ -62,7 +68,10 @@ def sample_object_cloud(
     y = (idx // W).astype(jnp.float32)
     z = flat_d[idx]
     pts = jnp.stack([(x - px) / fx * z, (y - py) / fy * z, z], axis=-1)
-    return jnp.where(valid[:, None], pts, 0.0), valid
+    pts = jnp.where(valid[:, None], pts, 0.0)
+    if return_index:
+        return pts, valid, idx
+    return pts, valid
 
 
 def _nearest(src: jnp.ndarray, tgt: jnp.ndarray, tgt_valid: jnp.ndarray):
@@ -86,9 +95,11 @@ def icp_refine(
     iters: int = 20,
     huber_delta: float = 0.01,
     damping: float = 1e-6,
+    model_valid: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Refine one 6-DoF pose. quat (4,) wxyz, trans (3,), model_points (P,3),
-    target_points (T,3) camera frame. Returns (quat, trans) refined."""
+    target_points (T,3) camera frame. Returns (quat, trans) refined.
+    model_valid (P,) masks padded/invalid source points out of the solve."""
 
     def step(_, state):
         R, t = state
@@ -98,6 +109,8 @@ def icp_refine(
         r = jnp.sqrt(jnp.maximum(d2, 1e-12))
         w = jnp.where(r <= huber_delta, 1.0, huber_delta / r)  # Huber IRLS
         w = jnp.where(jnp.isfinite(d2), w, 0.0)
+        if model_valid is not None:
+            w = w * model_valid.astype(w.dtype)
 
         # point-to-point GN on xi = (omega, v): residual = src + J xi - tgt
         # J = [-[src]x | I]

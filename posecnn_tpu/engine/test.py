@@ -216,6 +216,10 @@ def decode_poses_3d(
             fx, fy, px, py,
         )
         score = float(n_inl)
+        if score <= 0:
+            # no depth-valid correspondences (sensor hole over the object):
+            # the RANSAC output is meaningless — skip rather than emit it
+            continue
         rois.append([0, c, xs.min(), ys.min(), xs.max(), ys.max(), score])
         poses.append(np.concatenate([np.asarray(q), np.asarray(t)]))
     if not rois:

@@ -551,6 +551,7 @@ def hough_voting_multi(
     D = max_detections_per_image
     J = 9 if is_train else 1
     sample_chunk = min(sample_chunk, P)
+    assert P % sample_chunk == 0, f"max_samples {P} not divisible by chunk {sample_chunk}"
 
     label_flat = label.reshape(B, H * W)
     vert_flat = vertex_pred.reshape(B, H * W, 3 * C)

@@ -52,7 +52,9 @@ def loss_cross_entropy_steps(scores_list, labels_list) -> jnp.ndarray:
     loss = 0.0
     for score, label in zip(scores_list, labels_list):
         ce = -jnp.sum(label * score, axis=-1)
-        loss += jnp.sum(ce) / jnp.sum(label)
+        # epsilon like the single-frame variant: a step with no labeled
+        # pixels (fully-gated adaptation frame) must contribute 0, not NaN
+        loss += jnp.sum(ce) / (jnp.sum(label) + 1e-10)
     return loss / len(scores_list)
 
 

@@ -139,7 +139,6 @@ def anchor_target_layer(
     fg_keep = _random_subsample(k1, labels == 1, num_fg)
     labels = jnp.where((labels == 1) & ~fg_keep, -1, labels)
     n_fg = jnp.sum(labels == 1)
-    bg_keep = _random_subsample(k2, labels == 0, rpn_batchsize)  # upper bound
     # keep only rpn_batchsize - n_fg backgrounds
     noise = jax.random.uniform(k2, (A,))
     bg_score = jnp.where(labels == 0, noise, 2.0)
