@@ -133,7 +133,6 @@ def restore_checkpoint(path: str, target_state):
         data = np.load(path)
         payload = {"params": params, "step": step_arr, "opt_state": opt_state}
         flat, treedef = jax.tree_util.tree_flatten_with_path(payload)
-        have_opt = any(jax.tree_util.keystr(kp).startswith("[\'opt_state\']") for kp, _ in flat if jax.tree_util.keystr(kp) in data)
         out = []
         for kp, leaf in flat:
             key = jax.tree_util.keystr(kp)

@@ -24,11 +24,16 @@ def trace(logdir: str):
 
 @contextlib.contextmanager
 def device_timer(name: str, results: dict | None = None):
-    """Times a block including device completion (blocks on async dispatch)."""
+    """Times a block including device completion.
+
+    The barrier is a tiny jit computation: blocking on a bare device_put
+    only waits for that one transfer (the H2D stream), not previously
+    dispatched compute — it would report dispatch latency, not step time.
+    Compute streams execute in dispatch order, so blocking on a later
+    computation's result waits for the block's work too."""
     start = time.perf_counter()
     yield
-    # block until all device work is done
-    jax.block_until_ready(jax.device_put(0.0))
+    jax.block_until_ready(jax.jit(lambda x: x + 1.0)(0.0))
     dt = time.perf_counter() - start
     if results is not None:
         results[name] = results.get(name, 0.0) + dt

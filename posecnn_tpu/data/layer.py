@@ -32,6 +32,10 @@ class IndexStream:
         self._cur = 0
 
     def next(self, count: int) -> np.ndarray:
+        if self.n <= 0:
+            # a missing split file yields an empty index list — fail loudly
+            # instead of spinning forever in the fill loop below
+            raise ValueError("IndexStream over an empty dataset (0 images)")
         out = []
         while len(out) < count:
             if self._perm is None or self._cur >= self.n:
@@ -152,13 +156,18 @@ def prefetch(source: Iterator[dict], depth: int = 4, transform: Optional[Callabl
     stop = threading.Event()
 
     def worker():
-        for item in source:
-            if stop.is_set():
-                return
-            if transform is not None:
-                item = transform(item)
-            q.put(item)
-        q.put(None)
+        # any failure must reach the consumer: a dead worker with no
+        # sentinel would hang the training loop on q.get() forever
+        try:
+            for item in source:
+                if stop.is_set():
+                    return
+                if transform is not None:
+                    item = transform(item)
+                q.put(item)
+            q.put(None)
+        except BaseException as e:  # noqa: BLE001 — re-raised consumer-side
+            q.put(e)
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
@@ -167,6 +176,8 @@ def prefetch(source: Iterator[dict], depth: int = 4, transform: Optional[Callabl
             item = q.get()
             if item is None:
                 return
+            if isinstance(item, BaseException):
+                raise item
             yield item
     finally:
         stop.set()

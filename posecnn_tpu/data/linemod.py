@@ -122,19 +122,21 @@ class linemod(imdb):
 
         from posecnn_tpu.data.minibatch import Frame
 
-        meta = scipy.io.loadmat(self.gt_roidb()[i]["meta_data"])
+        # the cached roidb property — gt_roidb() rebuilds the whole list
+        entry = self.roidb[i]
+        meta = scipy.io.loadmat(entry["meta_data"])
         poses = meta["poses"]
         if poses.ndim == 2:
             poses = poses.reshape(3, 4, 1)
         # remap the global class index to binary labels (minibatch.py:357-369)
-        label = cv2.imread(self.gt_roidb()[i]["label"], cv2.IMREAD_UNCHANGED)
+        label = cv2.imread(entry["label"], cv2.IMREAD_UNCHANGED)
         cls_indexes = meta["cls_indexes"].flatten()
         sel = np.where(cls_indexes == self._cls_index)[0]
         binary = (label == self._cls_index).astype(np.int32)
         return Frame(
-            color=cv2.imread(self.gt_roidb()[i]["image"], cv2.IMREAD_COLOR),
+            color=cv2.imread(entry["image"], cv2.IMREAD_COLOR),
             label=binary,
-            depth=cv2.imread(self.gt_roidb()[i]["depth"], cv2.IMREAD_UNCHANGED),
+            depth=cv2.imread(entry["depth"], cv2.IMREAD_UNCHANGED),
             cls_indexes=np.ones(len(sel), dtype=np.float32),
             poses=poses[:, :, sel],
             center=meta["center"][sel, :],

@@ -91,8 +91,13 @@ def vgg16_det_forward(
 
     net = vgg_trunk(params, data, compute_dtype=dt)
     conv_rpn = L.conv2d(params["conv_rpn"], net["conv5_3"], relu=True, compute_dtype=dt)
-    rpn_cls_score = L.conv2d(params["rpn_cls_score"], conv_rpn, relu=True, compute_dtype=dt)
-    rpn_bbox_pred = L.conv2d(params["rpn_bbox_pred"], conv_rpn, relu=True, compute_dtype=dt)
+    # relu=False on purpose: the reference's conv default (relu=True,
+    # network.py:160) accidentally ReLUs these heads — clamped logits kill
+    # gradients on confident negatives, and non-negative box deltas cannot
+    # fit the signed regression targets at all. No released det checkpoint
+    # exists, so nothing pins us to the quirk.
+    rpn_cls_score = L.conv2d(params["rpn_cls_score"], conv_rpn, relu=False, compute_dtype=dt)
+    rpn_bbox_pred = L.conv2d(params["rpn_bbox_pred"], conv_rpn, relu=False, compute_dtype=dt)
 
     Hf, Wf = conv_rpn.shape[1], conv_rpn.shape[2]
     # softmax over the 2-way (bg,fg) axis, reference reshape_score trick
@@ -161,7 +166,8 @@ def vgg16_det_forward(
     fc6 = L.dropout(r_d6, fc6, keep)
     fc7 = L.fc(params["fc7"], fc6, relu=True, compute_dtype=dt)
     fc7 = L.dropout(r_d7, fc7, keep)
-    cls_score = L.fc(params["cls_score"], fc7, relu=True)
+    # relu=False: see the RPN-head note (reference fc default quirk)
+    cls_score = L.fc(params["cls_score"], fc7, relu=False)
     out["cls_score"] = cls_score
     out["cls_prob"] = jax.nn.softmax(cls_score, axis=-1)
     out["bbox_pred"] = L.fc(params["bbox_pred"], fc7, relu=False)

@@ -71,31 +71,48 @@ def init_dcgan_params(key: jax.Array, size: int = 128) -> Dict:
     return p
 
 
-def dcgan_generator(params: Dict, z: jnp.ndarray, image: jnp.ndarray, train: bool = True):
+def dcgan_generator(params: Dict, z: jnp.ndarray, image: jnp.ndarray, train: bool = True,
+                    return_stats: bool = False):
+    """With return_stats, also returns {bn_name: new_stats} — a training
+    step must merge these back into params or eval-mode BN normalizes with
+    the untouched init statistics (garbage at inference)."""
     size = params["size"]
+    stats: Dict[str, Dict] = {}
     h_z = L.fc(params["fc_z"], z, relu=False).reshape(-1, size // 32, size // 32, 512)
     h = image
     for name, _, _ in _G_ENC:
         h = L.conv2d(params[name], h, stride=2, relu=False)
-        h, _ = _bn(params["bn" + name[-1]], h, train, relu=True)
+        h, stats["bn" + name[-1]] = _bn(params["bn" + name[-1]], h, train, relu=True)
     h = jnp.concatenate([h, h_z], axis=3)
     for name, _, _ in _G_DEC:
         h = L.deconv(params[name], h, stride=2)
-        h, _ = _bn(params[f"bn{name[-1]}_deconv"], h, train, relu=True)
+        h, stats[f"bn{name[-1]}_deconv"] = _bn(params[f"bn{name[-1]}_deconv"], h, train, relu=True)
     out = L.conv2d(params["conv_output"], h, relu=False)
-    return jnp.tanh(out)
+    out = jnp.tanh(out)
+    return (out, stats) if return_stats else out
 
 
-def dcgan_discriminator(params: Dict, image_pair: jnp.ndarray, train: bool = True):
-    """image_pair: (B,H,W,6) concatenated condition+candidate."""
+def dcgan_discriminator(params: Dict, image_pair: jnp.ndarray, train: bool = True,
+                        return_stats: bool = False):
+    """image_pair: (B,H,W,6) concatenated condition+candidate. See
+    dcgan_generator for the return_stats contract."""
     h = image_pair
+    stats: Dict[str, Dict] = {}
     for name, _, _ in _D_ENC:
         h = L.conv2d(params[name], h, stride=2, relu=False)
         if name != "conv1_d":
-            h, _ = _bn(params[f"bn{name[4]}_d"], h, train)
+            h, stats[f"bn{name[4]}_d"] = _bn(params[f"bn{name[4]}_d"], h, train)
         h = lrelu(h)
     logit = L.fc(params["fc_d"], h.reshape(h.shape[0], -1), relu=False)
-    return logit
+    return (logit, stats) if return_stats else logit
+
+
+def merge_bn_stats(params: Dict, stats: Dict[str, Dict]) -> Dict:
+    """Fold _bn running-statistic updates back into the param tree."""
+    out = dict(params)
+    for name, s in stats.items():
+        out[name] = {**params[name], **s}
+    return out
 
 
 def gan_losses(d_real_logit, d_fake_logit):

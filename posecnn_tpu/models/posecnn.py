@@ -281,7 +281,11 @@ def posecnn_forward(
         rev = gradient_reversal(pool_score, cfg.adapt_lambda)
         fc9 = L.fc(params["fc9"], rev, relu=True, compute_dtype=dt)
         fc9 = L.dropout(r_d9, fc9, keep)
-        domain_score = L.fc(params["domain_score"], fc9, relu=True)
+        # relu=False: the reference fc default (relu=True, network.py:393)
+        # ReLU'd the 2-way domain logits, zeroing the adversarial gradient
+        # whenever both pre-activations go negative; training-only head, so
+        # nothing checkpoint-parity-relevant pins the quirk
+        domain_score = L.fc(params["domain_score"], fc9, relu=False)
         out["domain_score"] = domain_score
         out["domain_prob"] = jax.nn.softmax(domain_score, axis=-1)
         out["domain_label"] = jnp.argmax(domain_score, axis=-1).astype(jnp.int32)

@@ -201,3 +201,30 @@ def test_vgg16_gan_shapes():
     # patch discriminator downsamples by 32; [fake, real] passes share params
     assert len(out["outputs_d"]) == 2
     assert out["outputs_d"][0].shape == (1, 1, 1, 2)
+
+
+def test_dcgan_running_stats_update_and_eval():
+    """BN running statistics must flow back into params (merge_bn_stats) or
+    eval-mode normalizes with the untouched init stats."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from posecnn_tpu.models.gan import (
+        dcgan_generator,
+        init_dcgan_params,
+        merge_bn_stats,
+    )
+
+    p = init_dcgan_params(jax.random.PRNGKey(0), size=32)
+    z = jnp.asarray(np.random.RandomState(0).uniform(-1, 1, (1, 100)).astype(np.float32))
+    img = jnp.asarray(np.random.RandomState(1).rand(1, 32, 32, 3).astype(np.float32))
+    out, stats = dcgan_generator(p, z, img, train=True, return_stats=True)
+    assert "bn1" in stats
+    # stats moved off the init values
+    assert float(jnp.abs(stats["bn1"]["mean"]).sum()) > 0
+    p2 = merge_bn_stats(p, stats)
+    assert float(jnp.abs(p2["bn1"]["mean"]).sum()) > 0
+    # eval mode with merged stats runs and stays finite
+    out_eval = dcgan_generator(p2, z, img, train=False)
+    assert np.isfinite(np.asarray(out_eval)).all()
