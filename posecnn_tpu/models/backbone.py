@@ -32,11 +32,20 @@ VGG_CONV_DEFS = [
 ]
 
 
-def init_vgg_trunk(key, suffix: str = "") -> Dict:
+def scaled_width(c: int, scale: float) -> int:
+    """Channel width under a trunk width multiplier (min 8, /8-aligned)."""
+    if scale >= 1.0:
+        return c
+    return max(8, int(round(c * scale / 8)) * 8)
+
+
+def init_vgg_trunk(key, suffix: str = "", width_scale: float = 1.0) -> Dict:
     params = {}
     keys = jax.random.split(key, len(VGG_CONV_DEFS))
     for k, (name, c_i, c_o, _) in zip(keys, VGG_CONV_DEFS):
-        params[name + suffix] = init_conv(k, 3, 3, c_i, c_o)
+        ci = c_i if c_i == 3 else scaled_width(c_i, width_scale)
+        co = scaled_width(c_o, width_scale)
+        params[name + suffix] = init_conv(k, 3, 3, ci, co)
     return params
 
 
@@ -59,7 +68,7 @@ def vgg_trunk(
         p = params[name + suffix]
         if (
             compute_dtype == jnp.bfloat16
-            and c_out == 64
+            and p["weights"].shape[-1] == 64
             and name != "conv1_1"
             and h.ndim == 4
             and h.shape[1] >= 128

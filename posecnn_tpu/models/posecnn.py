@@ -74,17 +74,25 @@ class PoseCNNConfig:
     # fc6/fc7 width (4096 in the reference, vgg16_convs.py:180-184);
     # reducible for tiny-shape dry runs / tests
     fc_dim: int = 4096
+    # VGG trunk channel-width multiplier (1.0 = reference widths). <1 shrinks
+    # every conv stage (min 8 channels) — used by the multichip dryrun and
+    # CPU-mesh tests, where full 512-channel convs dominate both XLA-CPU
+    # compile time and single-core execution time
+    trunk_scale: float = 1.0
 
 
 def init_posecnn_params(key: jax.Array, cfg: PoseCNNConfig) -> Dict:
     C, U = cfg.num_classes, cfg.num_units
     ks = iter(jax.random.split(key, 24))
     params: Dict[str, Any] = {}
-    params.update(init_vgg_trunk(next(ks)))
+    from posecnn_tpu.models.backbone import scaled_width
+
+    params.update(init_vgg_trunk(next(ks), width_scale=cfg.trunk_scale))
     dual = cfg.input_format == "RGBD"
     if dual:
-        params.update(init_vgg_trunk(next(ks), suffix="_p"))
-    c5 = 1024 if dual else 512
+        params.update(init_vgg_trunk(next(ks), suffix="_p", width_scale=cfg.trunk_scale))
+    c5w = scaled_width(512, cfg.trunk_scale)  # single-tower conv4/conv5 width
+    c5 = 2 * c5w if dual else c5w
 
     params["score_conv5"] = L.init_conv(next(ks), 1, 1, c5, U)
     params["upscore_conv5"] = L.init_deconv(4, U)
@@ -93,17 +101,17 @@ def init_posecnn_params(key: jax.Array, cfg: PoseCNNConfig) -> Dict:
     params["score"] = L.init_conv(next(ks), 1, 1, U, C, stddev=0.01)
 
     if cfg.vertex_reg:
-        params["score_conv5_vertex"] = L.init_conv(next(ks), 1, 1, 512, 128)
+        params["score_conv5_vertex"] = L.init_conv(next(ks), 1, 1, c5w, 128)
         params["upscore_conv5_vertex"] = L.init_deconv(4, 128)
-        params["score_conv4_vertex"] = L.init_conv(next(ks), 1, 1, 512, 128)
+        params["score_conv4_vertex"] = L.init_conv(next(ks), 1, 1, c5w, 128)
         params["upscore_vertex"] = L.init_deconv(16, 128)
         params["vertex_pred"] = L.init_conv(next(ks), 1, 1, 128, 3 * C, stddev=0.001)
         if cfg.pose_reg:
-            params["fc6"] = L.init_fc(next(ks), 7 * 7 * 512, cfg.fc_dim)
+            params["fc6"] = L.init_fc(next(ks), 7 * 7 * c5w, cfg.fc_dim)
             params["fc7"] = L.init_fc(next(ks), cfg.fc_dim, cfg.fc_dim)
             params["fc8"] = L.init_fc(next(ks), cfg.fc_dim, 4 * C, stddev=0.001)
             if cfg.adaptation:
-                params["fc9"] = L.init_fc(next(ks), 7 * 7 * 512, 256)
+                params["fc9"] = L.init_fc(next(ks), 7 * 7 * c5w, 256)
                 params["domain_score"] = L.init_fc(next(ks), 256, 2, stddev=0.01)
     return params
 

@@ -28,6 +28,16 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
 
+# minimum element count for a kernel to be channel-sharded over MODEL_AXIS;
+# overridable (set_tp_min_size) so tiny-width dryrun/test graphs still
+# exercise real tensor-parallel shardings
+TP_MIN_SIZE = 1 << 22
+
+
+def set_tp_min_size(n: int) -> None:
+    global TP_MIN_SIZE
+    TP_MIN_SIZE = int(n)
+
 
 @dataclass(frozen=True)
 class MeshSpec:
@@ -62,7 +72,7 @@ def param_sharding(mesh: Mesh, path: str = "", leaf=None) -> NamedSharding:
     """
     if mesh.shape[MODEL_AXIS] > 1 and leaf is not None and getattr(leaf, "ndim", 0) >= 2:
         # channel-shard the last axis of big kernels (fc6/fc7 dominate)
-        if leaf.size >= (1 << 22) and leaf.shape[-1] % mesh.shape[MODEL_AXIS] == 0:
+        if leaf.size >= TP_MIN_SIZE and leaf.shape[-1] % mesh.shape[MODEL_AXIS] == 0:
             return NamedSharding(mesh, P(*([None] * (leaf.ndim - 1) + [MODEL_AXIS])))
     return NamedSharding(mesh, P())
 
