@@ -342,6 +342,7 @@ class Solver:
         ce_threshold=None,
         snapshot_format: str = "npz",
         points_raw=None,
+        vis_hook=None,
     ):
         self.model_cfg = model_cfg
         self.hp = hp
@@ -355,6 +356,9 @@ class Solver:
         self.snapshot_opt_state = snapshot_opt_state
         self.snapshot_format = snapshot_format
         self.display = display
+        # TRAIN.VISUALIZE: callable (iteration, batch) -> None rendering the
+        # assembled minibatch (engine.visualize.MinibatchVisualizer)
+        self.vis_hook = vis_hook
         self.rng = jax.random.PRNGKey(seed)
         self.step_fn = make_train_step(
             model_cfg, hp, self.mesh, self.points, self.symmetry, self.extents,
@@ -437,6 +441,8 @@ class Solver:
                 batch = batch_dev
                 if it + 1 < max_iters:
                     batch_dev = ship(next(data_iter))
+                if self.vis_hook is not None:
+                    self.vis_hook(it + 1, batch)
                 self.rng, sub = jax.random.split(self.rng)
                 timer.tic()
                 state, metrics = self.step_fn(state, batch, sub)

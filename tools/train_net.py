@@ -29,6 +29,10 @@ def parse_args():
         help="resume from the latest snapshot in the output dir",
     )
     parser.add_argument("--output", default=None, help="output dir override")
+    parser.add_argument(
+        "--vis", action="store_true",
+        help="render assembled minibatches (TRAIN.VISUALIZE) under the output dir",
+    )
     return parser.parse_args()
 
 
@@ -238,8 +242,19 @@ def main():
         np.asarray(layer.dataset._symmetry),
         mcfg.is_symmetric,
     )
+    vis_hook = None
+    if args.vis or cfg.TRAIN.VISUALIZE:
+        from posecnn_tpu.engine.visualize import MinibatchVisualizer
+
+        vis_hook = MinibatchVisualizer(
+            output_dir,
+            num_classes=cfg.TRAIN.NUM_CLASSES,
+            extents=np.asarray(layer.dataset._extents),
+            pixel_means=mcfg.pixel_means,
+        )
     solver = Solver(
         model_cfg, hp,
+        vis_hook=vis_hook,
         points=loss_points,
         # raw meter-scale clouds for the render-and-compare matching loss
         # (projects through real intrinsics; rescaled points would miss the ROI)
