@@ -31,25 +31,32 @@ _SCALES = [
 
 
 def init_posecnn_full_params(key: jax.Array, cfg: PoseCNNConfig) -> Dict:
+    from posecnn_tpu.models.backbone import scaled_width
+
     C, U = cfg.num_classes, cfg.num_units
     ks = iter(jax.random.split(key, 32))
     params: Dict[str, Any] = {}
-    params.update(init_vgg_trunk(next(ks)))
+    params.update(init_vgg_trunk(next(ks), width_scale=cfg.trunk_scale))
     for name, _, c_i in _SCALES:
-        params[name] = L.init_conv(next(ks), 1, 1, c_i, U)
+        params[name] = L.init_conv(next(ks), 1, 1, scaled_width(c_i, cfg.trunk_scale), U)
     for lvl in ("5", "4", "3", "2"):
         params[f"upscore_conv{lvl}"] = L.init_deconv(4, U)
     params["score"] = L.init_conv(next(ks), 1, 1, U, C, stddev=0.01)
     if cfg.vertex_reg:
         for name, _, c_i in _SCALES:
-            params[name + "_vertex"] = L.init_conv(next(ks), 1, 1, c_i, U)
+            params[name + "_vertex"] = L.init_conv(
+                next(ks), 1, 1, scaled_width(c_i, cfg.trunk_scale), U
+            )
         for lvl in ("5", "4", "3", "2"):
             params[f"upscore_conv{lvl}_vertex"] = L.init_deconv(4, U)
         params["vertex_pred"] = L.init_conv(next(ks), 1, 1, U, 3 * C, stddev=0.001)
         if cfg.pose_reg:
-            params["fc6"] = L.init_fc(next(ks), 7 * 7 * 512, 4096)
-            params["fc7"] = L.init_fc(next(ks), 4096, 4096)
-            params["poses_pred_unnormalized"] = L.init_fc(next(ks), 4096, 4 * C, stddev=0.001)
+            c5w = scaled_width(512, cfg.trunk_scale)
+            params["fc6"] = L.init_fc(next(ks), 7 * 7 * c5w, cfg.fc_dim)
+            params["fc7"] = L.init_fc(next(ks), cfg.fc_dim, cfg.fc_dim)
+            params["poses_pred_unnormalized"] = L.init_fc(
+                next(ks), cfg.fc_dim, 4 * C, stddev=0.001
+            )
     return params
 
 

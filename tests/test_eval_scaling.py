@@ -20,7 +20,7 @@ from posecnn_tpu.models.posecnn import PoseCNNConfig, init_posecnn_params
 
 def _model_cfg(**kw):
     base = dict(
-        num_classes=3, num_units=8, vertex_reg=True, pose_reg=True,
+        num_classes=3, num_units=8, trunk_scale=0.25, vertex_reg=True, pose_reg=True,
         is_train=False, hough_class_slots=2, hough_max_samples=32,
         hough_center_stride=4, hough_refine_window=8, label_threshold=5,
         fc_dim=64, hough_sampler="approx", use_crop_pool=True,

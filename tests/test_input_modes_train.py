@@ -43,7 +43,7 @@ def _frame(rng, with_vertmap=False):
 
 def _model_cfg(input_format="COLOR"):
     return PoseCNNConfig(
-        num_classes=C, num_units=8, input_format=input_format, vertex_reg=True,
+        num_classes=C, num_units=8, trunk_scale=0.25, input_format=input_format, vertex_reg=True,
         pose_reg=True, is_train=True, keep_prob=1.0, compute_dtype=jnp.float32,
         hough_class_slots=2, hough_max_samples=32, hough_center_stride=4,
         hough_refine_window=8, label_threshold=5, fc_dim=64,

@@ -116,7 +116,7 @@ def test_matching_flag_train_step():
 
     C, H, W = 4, 32, 32
     cfg = PoseCNNConfig(
-        num_classes=C, num_units=8, vertex_reg=True, pose_reg=True,
+        num_classes=C, num_units=8, trunk_scale=0.25, vertex_reg=True, pose_reg=True,
         is_train=True, keep_prob=1.0, compute_dtype=jnp.float32,
         hough_class_slots=2, hough_max_samples=32, hough_center_stride=4,
         hough_refine_window=8, label_threshold=5, fc_dim=64,

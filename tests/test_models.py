@@ -56,7 +56,7 @@ def test_posecnn_forward_shapes():
 
     C, H, W, B = 4, 32, 32, 2
     cfg = PoseCNNConfig(
-        num_classes=C, num_units=8, vertex_reg=True, pose_reg=True, is_train=False,
+        num_classes=C, num_units=8, trunk_scale=0.25, vertex_reg=True, pose_reg=True, is_train=False,
         compute_dtype=jnp.float32, hough_class_slots=2, hough_max_samples=32,
         hough_center_stride=4, hough_refine_window=8, label_threshold=5, fc_dim=64,
     )
@@ -79,7 +79,7 @@ def test_posecnn_full_forward_shapes():
 
     C, H, W, B = 4, 32, 32, 1
     cfg = PoseCNNConfig(
-        num_classes=C, num_units=8, vertex_reg=True, pose_reg=True, is_train=False,
+        num_classes=C, num_units=8, trunk_scale=0.25, vertex_reg=True, pose_reg=True, is_train=False,
         compute_dtype=jnp.float32, hough_class_slots=2, hough_max_samples=32,
         hough_center_stride=4, hough_refine_window=8, label_threshold=5, fc_dim=64,
     )

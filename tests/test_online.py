@@ -70,6 +70,9 @@ def test_tcp_server_detections(engine, tmp_path):
     else:
         pytest.fail("server did not come up")
     with s:
+        # the 1s connect timeout sticks to the socket; the first frame jit-
+        # compiles under CI contention, so give the response plenty of room
+        s.settimeout(300)
         s.sendall((json.dumps({"file": path}) + "\n").encode())
         buf = b""
         while not buf.endswith(b"\n"):

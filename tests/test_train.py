@@ -17,7 +17,7 @@ B = 8
 
 def _cfg():
     return PoseCNNConfig(
-        num_classes=C, num_units=8, vertex_reg=True, pose_reg=True, is_train=True,
+        num_classes=C, num_units=8, trunk_scale=0.25, vertex_reg=True, pose_reg=True, is_train=True,
         keep_prob=1.0, compute_dtype=jnp.float32, hough_class_slots=2,
         hough_max_samples=32, hough_center_stride=4, hough_refine_window=8,
         label_threshold=5, fc_dim=64,
@@ -101,7 +101,7 @@ def test_solver_resume_roundtrip(tmp_path):
 
     C = 3
     cfg = PoseCNNConfig(
-        num_classes=C, num_units=8, vertex_reg=False, pose_reg=False,
+        num_classes=C, num_units=8, trunk_scale=0.25, vertex_reg=False, pose_reg=False,
         is_train=True, compute_dtype=jnp.float32, fc_dim=32,
     )
     hp = TrainHParams()
@@ -135,15 +135,21 @@ def test_train_step_tensor_parallel_mesh():
 
     C = 3
     cfg = PoseCNNConfig(
-        num_classes=C, num_units=8, vertex_reg=True, pose_reg=True,
+        num_classes=C, num_units=8, trunk_scale=0.25, vertex_reg=True, pose_reg=True,
         is_train=True, compute_dtype=jnp.float32, hough_class_slots=2,
         hough_max_samples=32, hough_center_stride=4, hough_refine_window=8,
         label_threshold=5, fc_dim=256,
     )
     hp = TrainHParams(stepsize=100)
     mesh = make_mesh(MeshSpec(data=4, model=2))
+    # narrow-trunk test graph: lower the TP size threshold (as the multichip
+    # dryrun does) so the scaled fc6 kernel still channel-shards
+    from posecnn_tpu.parallel import mesh as mesh_mod
+
+    old_tp = mesh_mod.TP_MIN_SIZE
+    mesh_mod.set_tp_min_size(1 << 14)
     ssh = state_shardings(mesh, create_train_state(cfg, hp, jax.random.PRNGKey(0)))
-    # fc6 kernel (25088x256) crosses the TP size threshold -> model-sharded
+    # fc6 kernel crosses the (lowered) TP size threshold -> model-sharded
     assert MODEL_AXIS in str(ssh[0]["fc6"]["weights"].spec)
 
     rng = np.random.RandomState(0)
@@ -167,5 +173,8 @@ def test_train_step_tensor_parallel_mesh():
         "meta_data": jnp.asarray(meta),
         "poses": jnp.asarray(np.zeros((4, 13), np.float32)),
     }
-    state, metrics = step(state, batch, jax.random.PRNGKey(1))
-    assert np.isfinite(float(metrics["loss"]))
+    try:
+        state, metrics = step(state, batch, jax.random.PRNGKey(1))
+        assert np.isfinite(float(metrics["loss"]))
+    finally:
+        mesh_mod.set_tp_min_size(old_tp)

@@ -73,7 +73,7 @@ def test_model_3d_mode_skips_hough():
     )
 
     cfg = PoseCNNConfig(
-        num_classes=C, num_units=8, vertex_reg=True, vertex_reg_3d=True,
+        num_classes=C, num_units=8, trunk_scale=0.25, vertex_reg=True, vertex_reg_3d=True,
         pose_reg=False, is_train=False, keep_prob=1.0,
         compute_dtype=jnp.float32, fc_dim=64,
     )

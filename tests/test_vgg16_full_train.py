@@ -21,7 +21,7 @@ B = 2
 
 def _cfg(train):
     return PoseCNNConfig(
-        num_classes=C, num_units=8, vertex_reg=True, pose_reg=True, is_train=train,
+        num_classes=C, num_units=8, trunk_scale=0.25, vertex_reg=True, pose_reg=True, is_train=train,
         keep_prob=1.0, compute_dtype=jnp.float32, hough_class_slots=2,
         hough_max_samples=32, hough_center_stride=4, hough_refine_window=8,
         label_threshold=5, fc_dim=64,
