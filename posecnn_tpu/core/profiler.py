@@ -22,6 +22,11 @@ def trace(logdir: str):
         jax.profiler.stop_trace()
 
 
+@jax.jit
+def _barrier_probe(x):
+    return x + 1.0
+
+
 @contextlib.contextmanager
 def device_timer(name: str, results: dict | None = None):
     """Times a block including device completion.
@@ -33,7 +38,9 @@ def device_timer(name: str, results: dict | None = None):
     computation's result waits for the block's work too."""
     start = time.perf_counter()
     yield
-    jax.block_until_ready(jax.jit(lambda x: x + 1.0)(0.0))
+    # module-level jitted barrier: a fresh lambda per call would never hit
+    # the trace cache and the retrace cost would be billed to the block
+    jax.block_until_ready(_barrier_probe(0.0))
     dt = time.perf_counter() - start
     if results is not None:
         results[name] = results.get(name, 0.0) + dt

@@ -174,7 +174,7 @@ class PoseEvaluator:
 
         n_gt = gt_poses.shape[2]
         gt_taken = np.zeros(n_gt, bool)
-        if rois is not None and rois.shape[0] > 0:
+        if rois is not None and rois.shape[0] > 0 and poses is not None:
             order = np.argsort(-rois[:, 6]) if rois.shape[1] > 6 else np.arange(rois.shape[0])
             for k in order:
                 cls_index = int(rois[k, 1])
@@ -230,11 +230,28 @@ class PoseEvaluator:
                 out[self.classes[i]] = float(intersection[i] / union[i])
         return out
 
+    # refined/ICP error keys are absent from records of frames where the
+    # engine skipped refinement (e.g. zero detections -> poses_icp=None);
+    # those GTs are misses for the refined metric too. Reading them as MISS
+    # keeps adds_auc_icp over the SAME population as adds_auc — dropping
+    # them would exclude exactly the hardest frames and inflate the metric.
+    _MISS_DEFAULT_KEYS = ("err_refined", "err_icp")
+
+    def _rec_err(self, r: dict, key: str):
+        if key in r:
+            return r[key]
+        return self.MISS if key in self._MISS_DEFAULT_KEYS else None
+
     def pose_accuracy(self, key: str = "err") -> Dict[str, float]:
         """Fraction of GT instances with ADD(-S) < threshold per class."""
         out = {}
         for c, recs in self.pose_errors.items():
-            vals = [(r[key], r["thresh"]) for r in recs if key in r]
+            vals = [
+                (e, r["thresh"])
+                for r in recs
+                for e in [self._rec_err(r, key)]
+                if e is not None
+            ]
             if vals:
                 out[self.classes[c]] = sum(1 for e, t in vals if e < t) / len(vals)
         return out
@@ -270,7 +287,7 @@ class PoseEvaluator:
         Undetected GTs (err=inf) drag the curve down, as in the toolbox."""
         out = {}
         for c, recs in self.pose_errors.items():
-            errs = [r[key] for r in recs if key in r]
+            errs = [e for r in recs for e in [self._rec_err(r, key)] if e is not None]
             if errs:
                 out[self.classes[c]] = self._auc(np.array(errs), max_threshold)
         return out
@@ -282,13 +299,20 @@ class PoseEvaluator:
 
     def adds_auc_pooled(self, max_threshold: float = 0.1, key: str = "err") -> float:
         """All classes pooled into one curve (not the paper metric)."""
-        errs = [r[key] for recs in self.pose_errors.values() for r in recs if key in r]
+        errs = [
+            e
+            for recs in self.pose_errors.values()
+            for r in recs
+            for e in [self._rec_err(r, key)]
+            if e is not None
+        ]
         return self._auc(np.array(errs), max_threshold) if errs else 0.0
 
     def summary(self) -> Dict[str, object]:
+        seg_iou = self.segmentation_iou()
         out = {
-            "seg_iou": self.segmentation_iou(),
-            "mean_iou": float(np.mean(list(self.segmentation_iou().values()) or [0.0])),
+            "seg_iou": seg_iou,
+            "mean_iou": float(np.mean(list(seg_iou.values()) or [0.0])),
             "pose_accuracy": self.pose_accuracy(),
             "adds_auc": self.adds_auc(),
             "adds_auc_per_class": self.adds_auc_per_class(),

@@ -354,7 +354,14 @@ def get_minibatch(
             im = add_noise(im, rng=rng)
 
         if want_depth_input or want_normal_input:
-            depth_raw = pad_im(fr.depth, 16)
+            # adaptation frames may ship no depth: substitute an all-zero
+            # depth so the blob shapes stay aligned (their label blob is -1
+            # everywhere, so only the adversarial domain branch consumes them)
+            depth_raw = (
+                pad_im(fr.depth, 16)
+                if fr.depth is not None
+                else np.zeros(im.shape[:2], np.float32)
+            )
             if want_depth_input:
                 im_d = depth_input_image(depth_raw)
                 if mcfg.add_noise:

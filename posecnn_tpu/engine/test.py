@@ -284,7 +284,12 @@ def test_net(
         if "rois" in out:
             rois = np.asarray(out["rois"])
             sel = np.asarray(out["rois_valid"]).astype(bool) & (rois[:, 0].astype(int) == b)
-            o["rois"] = rois[sel]
+            rois = rois[sel].copy()
+            # re-zero the batch column: the single-frame path always emits 0
+            # there, and the REFERENCE_NMS_BUG parity mode reads columns 0..4
+            # as (box, score) — a nonzero slot index would shift its boxes
+            rois[:, 0] = 0.0
+            o["rois"] = rois
             o["rois_valid"] = np.ones(sel.sum(), bool)
             o["poses_init"] = np.asarray(out["poses_init"])[sel]
             if "poses_tanh" in out:

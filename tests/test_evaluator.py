@@ -174,6 +174,34 @@ def test_refined_and_icp_variants_in_summary():
     assert "adds_auc_refined" in s and "pose_accuracy_icp" in s
 
 
+def test_icp_auc_counts_zero_detection_frames_as_misses():
+    """A frame with no detections (engine passes poses_icp=None) must count
+    its GTs as misses for the ICP metric too — excluding them would compute
+    adds_auc_icp over an easier population than adds_auc."""
+    ev = make_eval()
+    # frame 1: detection + perfect ICP
+    gt, cls = _gt([[0, 0, 1.0]], [1])
+    rois = np.array([_roi(1, 0.9)], np.float32)
+    poses = np.array([_pose(IDQ, [0.08, 0, 1.0])])
+    poses_icp = np.array([_pose(IDQ, [0, 0, 1.0])])
+    ev.add_frame(LABELS, LABELS, rois, poses, gt, cls,
+                 poses_refined=poses, poses_icp=poses_icp)
+    # frame 2: same GT, zero detections -> no poses_icp available
+    ev.add_frame(LABELS, LABELS, np.zeros((0, 7), np.float32), None, gt, cls)
+    s = ev.summary()
+    # 1 perfect + 1 miss out of 2: ICP AUC must be 0.5, not 1.0
+    assert s["adds_auc_icp"] == pytest.approx(0.5)
+    assert s["pose_accuracy_icp"]["box"] == pytest.approx(0.5)
+
+
+def test_add_frame_accepts_rois_without_poses():
+    ev = make_eval()
+    gt, cls = _gt([[0, 0, 1.0]], [1])
+    rois = np.array([_roi(1, 0.9)], np.float32)
+    ev.add_frame(LABELS, LABELS, rois, None, gt, cls)  # no poses: all GTs miss
+    assert ev.pose_errors[1][0]["err"] == ev.MISS
+
+
 def test_reprojection_metric_and_zflip():
     K = np.array([[500.0, 0, 320], [0, 500.0, 240], [0, 0, 1]])
     ev = make_eval(flip_z_classes=["box"])

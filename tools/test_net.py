@@ -167,7 +167,6 @@ def main():
         for k, v in r.items():
             if v is not None:
                 arrays[f"{fi:06d}_{k}"] = _np.asarray(v)
-    os.makedirs(out_dir, exist_ok=True)
     _np.savez_compressed(os.path.join(out_dir, "detections.npz"), **arrays)
     summary = evaluator.summary()
     with open(os.path.join(out_dir, "eval_summary.json"), "w") as f:

@@ -144,6 +144,7 @@ def main():
         max_gt=cfg.TPU.MAX_GT,
         device_targets=cfg.TPU.DEVICE_TARGETS,
         input_format=cfg.INPUT,
+        gan=cfg.TRAIN.GAN,
     )
     output_dir = args.output or get_output_dir(imdb.name, args.network_name)
     print("Output will be saved to", output_dir)
