@@ -221,8 +221,8 @@ class Synthesizer:
                 )
         # fall through: return the last attempt regardless
         return Frame(
-            color=buf.color[:, :, ::-1].copy(), label=buf.label.copy(), depth=depth_raw
-            if "depth_raw" in dir() else (buf.depth * 1000).astype(np.uint16),
+            color=buf.color[:, :, ::-1].copy(), label=buf.label.copy(),
+            depth=(buf.depth * 1000.0).astype(np.uint16),
             cls_indexes=classes.astype(np.float32), poses=poses, center=centers,
             intrinsic_matrix=self.K, factor_depth=1000.0, is_synthetic=True,
         )
