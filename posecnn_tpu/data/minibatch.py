@@ -441,7 +441,8 @@ def get_minibatch(
         batch["data_gan"] = np.stack(gan_ims)
         # generator noise blob (reference gt_single_data_layer/minibatch.py:320:
         # uniform [-1, 1], dim 100, one row per image) — the dcgan generator's
-        # z input
+        # z input. The reference's _get_gan_labels (minibatch.py:424-442) is
+        # dead code there (never called), so only the live gan_z path is kept.
         batch["gan_z"] = rng.uniform(-1, 1, (len(gan_ims), 100)).astype(np.float32)
     if mcfg.vertex_reg:
         if mcfg.device_targets and mcfg.vertex_reg_3d:
