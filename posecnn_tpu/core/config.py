@@ -191,6 +191,10 @@ class TPUConfig:
     # bilinear crop_pool (crop_pool_new, network.py:790-831) instead of the
     # exact roi_pool: exact max pooling costs O(R*H*W*C) on TPU
     USE_CROP_POOL: bool = True
+    # isolation/debug: drive training-time hough voting from GT labels +
+    # GT vertex targets (perfect detections for the quaternion branch) —
+    # see PoseCNNConfig.hough_from_gt
+    HOUGH_FROM_GT: bool = False
     # include optimizer state in snapshots (False = light params-only
     # checkpoints, 4x less device->host traffic; resume reinits momentum)
     CHECKPOINT_OPT_STATE: bool = True

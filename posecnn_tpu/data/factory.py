@@ -38,8 +38,18 @@ def _install_defaults():
             register(f"linemod_{cls}_{split}", lambda c=cls, s=split: linemod(c, s))
 
     def _lov_syn(split):
-        from posecnn_tpu.data.synthetic import SyntheticDataset
+        import os
 
+        from posecnn_tpu.data.synthetic import FrozenSyntheticDataset, SyntheticDataset
+
+        # the val split serves from the frozen on-disk snapshot when present
+        # (hash-pinned by the committed manifest — see freeze_dataset) so
+        # renderer changes can never silently move the accuracy benchmark
+        if split == "val":
+            here = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+            snap = os.path.join(here, "data", "lov_syn_val_v3")
+            if os.path.exists(os.path.join(snap, "manifest.json")):
+                return FrozenSyntheticDataset(lov("train"), snap)
         n = 2000 if split == "train" else 64
         return SyntheticDataset(lov("train"), split=split, num_images=n)
 

@@ -34,6 +34,40 @@ def _random_rotation(rng: np.random.RandomState) -> np.ndarray:
     return quat2mat(q / np.linalg.norm(q))
 
 
+def procedural_vertex_colors(
+    vertices: np.ndarray, cls_id: int, base_color: np.ndarray
+) -> np.ndarray:
+    """Deterministic position-based surface pattern for untextured meshes.
+
+    The reference trains on textured YCB meshes (synthesize.cpp:148-178);
+    this environment only ships `points.xyz` clouds, so hull proxy meshes
+    would otherwise render one flat color per object. A flat-colored convex
+    object is nearly rotation-invariant in image space — the quaternion head
+    then has almost no supervisory signal. This stamps a smooth multi-band
+    pattern onto the surface (sin products along 3 random object-frame
+    directions + per-vertex jitter), deterministic in `cls_id` so train and
+    val render identically across processes.
+    """
+    rng = np.random.RandomState(777 + int(cls_id))
+    v = vertices - vertices.mean(axis=0, keepdims=True)
+    scale = max(float(np.abs(v).max()), 1e-6)
+    v = v / scale  # roughly [-1, 1]
+    base = np.asarray(base_color, np.float32).reshape(1, 3)
+    # secondary color: complementary-ish, away from base
+    second = np.clip(1.0 - base + 0.3 * rng.rand(1, 3).astype(np.float32), 0.05, 1.0)
+    freqs = rng.uniform(2.0, 5.0, size=(3,)).astype(np.float32)
+    dirs = rng.randn(3, 3).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    phase = rng.uniform(0, 2 * np.pi, size=(3,)).astype(np.float32)
+    t = 0.5 + 0.5 * np.sin(freqs[0] * (v @ dirs[0]) + phase[0]) * np.sin(
+        freqs[1] * (v @ dirs[1]) + phase[1]
+    )
+    t2 = 0.5 + 0.5 * np.sin(freqs[2] * (v @ dirs[2]) + phase[2])
+    mix = np.clip(0.25 + 0.5 * t + 0.25 * t2, 0.0, 1.0)[:, None].astype(np.float32)
+    jitter = 0.06 * rng.randn(len(vertices), 3).astype(np.float32)
+    return np.clip(mix * base + (1.0 - mix) * second + jitter, 0.02, 1.0)
+
+
 class Mesh:
     def __init__(self, vertices: np.ndarray, faces: np.ndarray, colors: Optional[np.ndarray] = None):
         self.vertices = vertices.astype(np.float32)
@@ -71,10 +105,21 @@ class Mesh:
                         faces.append([idx[0], idx[k], idx[k + 1]])
         return cls(np.asarray(verts, np.float32), np.asarray(faces, np.int32))
 
+    # PLY scalar type -> numpy dtype (little-endian where sized)
+    _PLY_DTYPES = {
+        "char": "i1", "int8": "i1", "uchar": "u1", "uint8": "u1",
+        "short": "<i2", "int16": "<i2", "ushort": "<u2", "uint16": "<u2",
+        "int": "<i4", "int32": "<i4", "uint": "<u4", "uint32": "<u4",
+        "float": "<f4", "float32": "<f4", "double": "<f8", "float64": "<f8",
+    }
+
     @classmethod
     def from_ply(cls, path: str) -> "Mesh":
-        """ASCII PLY loader (xyz vertices + polygon faces; extra vertex
-        properties like normals/colors are skipped positionally)."""
+        """PLY loader: xyz vertices, polygon faces, and per-vertex
+        red/green/blue colors when present (the YCB `textured.ply` models
+        carry them — the reference renders textured meshes,
+        lib/synthesize/synthesize.cpp:148-178 loadTexturedMesh). Supports
+        `format ascii` and `format binary_little_endian`."""
         with open(path, "rb") as fh:
             header = []
             while True:
@@ -82,10 +127,13 @@ class Mesh:
                 header.append(line)
                 if line == "end_header":
                     break
-            if not any(h.startswith("format ascii") for h in header):
-                raise ValueError(f"{path}: only ascii PLY supported")
+            is_ascii = any(h.startswith("format ascii") for h in header)
+            is_binary = any(h.startswith("format binary_little_endian") for h in header)
+            if not (is_ascii or is_binary):
+                raise ValueError(f"{path}: unsupported PLY format (ascii/binary_le only)")
             n_vert = n_face = 0
-            vert_props: List[str] = []
+            vert_props: List[Tuple[str, str]] = []  # (name, type)
+            face_list_types: Tuple[str, str] = ("uchar", "int")
             cur = None
             for h in header:
                 t = h.split()
@@ -98,20 +146,51 @@ class Mesh:
                     elif cur == "face":
                         n_face = int(t[2])
                 elif t[0] == "property" and cur == "vertex" and len(t) >= 3:
-                    vert_props.append(t[-1])
-            ix = [vert_props.index(a) for a in ("x", "y", "z")]
-            verts = np.zeros((n_vert, 3), np.float32)
-            for i in range(n_vert):
-                vals = fh.readline().split()
-                verts[i] = [float(vals[j]) for j in ix]
-            faces: List[List[int]] = []
-            for _ in range(n_face):
-                vals = fh.readline().split()
-                k = int(vals[0])
-                idx = [int(v) for v in vals[1 : 1 + k]]
-                for j in range(1, k - 1):
-                    faces.append([idx[0], idx[j], idx[j + 1]])
-        return cls(verts, np.asarray(faces, np.int32))
+                    if t[1] == "list":
+                        raise ValueError(f"{path}: list property on vertex unsupported")
+                    vert_props.append((t[-1], t[1]))
+                elif t[0] == "property" and cur == "face" and len(t) >= 5 and t[1] == "list":
+                    face_list_types = (t[2], t[3])
+
+            names = [n for n, _ in vert_props]
+            ix = [names.index(a) for a in ("x", "y", "z")]
+            has_rgb = all(c in names for c in ("red", "green", "blue"))
+            ic = [names.index(a) for a in ("red", "green", "blue")] if has_rgb else None
+
+            if is_ascii:
+                rows = np.empty((n_vert, len(vert_props)), np.float64)
+                for i in range(n_vert):
+                    rows[i] = [float(v) for v in fh.readline().split()[: len(vert_props)]]
+                faces: List[List[int]] = []
+                for _ in range(n_face):
+                    vals = fh.readline().split()
+                    k = int(vals[0])
+                    idx = [int(v) for v in vals[1 : 1 + k]]
+                    for j in range(1, k - 1):
+                        faces.append([idx[0], idx[j], idx[j + 1]])
+                faces_arr = np.asarray(faces, np.int32).reshape(-1, 3)
+                color_scale = 255.0  # ascii rgb conventionally uchar-valued
+            else:
+                vdt = np.dtype([(f"p{i}", cls._PLY_DTYPES[t]) for i, (_, t) in enumerate(vert_props)])
+                raw = np.frombuffer(fh.read(n_vert * vdt.itemsize), dtype=vdt, count=n_vert)
+                rows = np.stack([raw[f"p{i}"].astype(np.float64) for i in range(len(vert_props))], axis=1)
+                cnt_dt = np.dtype(cls._PLY_DTYPES[face_list_types[0]])
+                idx_dt = np.dtype(cls._PLY_DTYPES[face_list_types[1]])
+                faces = []
+                for _ in range(n_face):
+                    k = int(np.frombuffer(fh.read(cnt_dt.itemsize), cnt_dt)[0])
+                    idx = np.frombuffer(fh.read(k * idx_dt.itemsize), idx_dt).astype(np.int64)
+                    for j in range(1, k - 1):
+                        faces.append([idx[0], idx[j], idx[j + 1]])
+                faces_arr = np.asarray(faces, np.int32).reshape(-1, 3)
+                # uchar-typed rgb is 0..255; float-typed is already 0..1
+                color_scale = 255.0 if (has_rgb and vert_props[ic[0]][1] in ("uchar", "uint8")) else 1.0
+
+            verts = rows[:, ix].astype(np.float32)
+            colors = None
+            if has_rgb:
+                colors = (rows[:, ic] / color_scale).astype(np.float32)
+        return cls(verts, faces_arr, colors=colors)
 
     @classmethod
     def load(cls, path: str) -> "Mesh":
@@ -177,6 +256,16 @@ class Synthesizer:
         )
         return R, t
 
+    def _sample_light(self, rng) -> Tuple[float, float, float, float, float]:
+        """Random camera-frame Lambert light per scene: direction anywhere on
+        the sphere (|n.l| shading is sign-agnostic), ambient/diffuse jittered
+        around the old fixed headlight split so mean brightness is stable."""
+        d = rng.randn(3)
+        d /= max(np.linalg.norm(d), 1e-9)
+        ambient = 0.3 + 0.2 * rng.rand()
+        diffuse = 1.0 - ambient + 0.1 * (rng.rand() - 0.5)
+        return (float(d[0]), float(d[1]), float(d[2]), float(ambient), float(diffuse))
+
     def render_scene(self, rng: np.random.RandomState, max_tries: int = 5) -> Frame:
         classes_avail = [c for c in range(1, self.num_classes) if self.meshes[c] is not None]
         for _ in range(max_tries):
@@ -186,6 +275,7 @@ class Synthesizer:
             buf = SceneBuffers(self.height, self.width)
             poses = np.zeros((3, 4, n), np.float32)
             centers = np.zeros((n, 2), np.float32)
+            light = self._sample_light(rng)
             for j, cls in enumerate(classes):
                 R, t = self._sample_pose(rng)
                 poses[:, :3, j] = R
@@ -204,6 +294,7 @@ class Synthesizer:
                     buf, mesh.vertices, mesh.faces,
                     np.hstack([R, t[:, None]]), self.K, int(cls),
                     vertex_colors=mesh.colors, base_color=tuple(base),
+                    light=light,
                 )
             visible = np.array([(buf.label == c).sum() for c in classes])
             if (visible >= self.min_visible).all():
@@ -251,6 +342,17 @@ def build_ycb_synthesizer(dataset, width=640, height=480, **kwargs) -> Synthesiz
         meshes.append(mesh)
     K = getattr(dataset, "K", np.array([[1066.778, 0, 312.9869], [0, 1067.487, 241.3109], [0, 0, 1]]))
     colors = getattr(dataset, "_class_colors", None)
+    # untextured meshes (the points.xyz hull proxies here) get a procedural
+    # surface pattern: flat-shaded objects carry almost no rotation signal
+    for c in range(1, dataset.num_classes):
+        mesh = meshes[c]
+        if mesh is not None and mesh.colors is None:
+            base = (
+                np.asarray(colors[c], np.float32) / 255.0
+                if colors is not None
+                else np.array([0.6, 0.6, 0.6], np.float32)
+            )
+            mesh.colors = procedural_vertex_colors(mesh.vertices, c, base)
     return Synthesizer(meshes, dataset._extents, K, width, height, class_colors=colors, **kwargs)
 
 
@@ -282,6 +384,95 @@ class OfflineSynReader:
             factor_depth=float(np.asarray(meta["factor_depth"]).flatten()[0]),
             is_synthetic=True,
         )
+
+
+def _frame_digest(frame: Frame) -> str:
+    """Content hash of a frame's arrays (order-stable, compression-free)."""
+    import hashlib
+
+    h = hashlib.sha256()
+    for a in (
+        frame.color, frame.label, frame.depth, frame.cls_indexes,
+        frame.poses, frame.center, np.asarray(frame.intrinsic_matrix),
+    ):
+        h.update(np.ascontiguousarray(a).tobytes())
+    return h.hexdigest()
+
+
+def freeze_dataset(imdb, out_dir: str) -> dict:
+    """Render every frame of a synthetic imdb to disk + hash manifest.
+
+    Round-2 verdict: the val set was derived live from the renderer, so any
+    renderer change silently moved the accuracy benchmark. The manifest
+    (committed to git) pins the exact frames; `FrozenSyntheticDataset`
+    refuses to serve frames whose hash drifted.
+    """
+    import json
+
+    os.makedirs(out_dir, exist_ok=True)
+    manifest = {"name": imdb.name, "num_images": imdb.num_images, "frames": []}
+    for i in range(imdb.num_images):
+        f = imdb.load_frame(i)
+        np.savez_compressed(
+            os.path.join(out_dir, f"{i:06d}.npz"),
+            color=f.color, label=f.label, depth=f.depth,
+            cls_indexes=f.cls_indexes, poses=f.poses, center=f.center,
+            intrinsic_matrix=np.asarray(f.intrinsic_matrix),
+            factor_depth=np.float64(f.factor_depth),
+        )
+        manifest["frames"].append(_frame_digest(f))
+    with open(os.path.join(out_dir, "manifest.json"), "w") as fh:
+        json.dump(manifest, fh, indent=1)
+    return manifest
+
+
+class FrozenSyntheticDataset:
+    """Disk-backed snapshot of a SyntheticDataset (see `freeze_dataset`).
+
+    Frames load from npz and are verified against the manifest hash on first
+    access — a renderer change can break the snapshot only loudly, never
+    silently. Metadata (classes/points/extents) still proxies the base imdb.
+    """
+
+    def __init__(self, base, snap_dir: str, manifest_path: Optional[str] = None):
+        import json
+
+        self.base = base
+        self.snap_dir = snap_dir
+        with open(manifest_path or os.path.join(snap_dir, "manifest.json")) as fh:
+            self.manifest = json.load(fh)
+        self.name = self.manifest["name"]
+        self.num_images = self.manifest["num_images"]
+        self.image_index = [f"syn/{i:06d}" for i in range(self.num_images)]
+        self._cache: dict = {}
+        self.classes = base.classes
+        self.num_classes = base.num_classes
+        self._extents = base._extents
+        self._points = base._points
+        self._points_all = base._points_all
+        self._symmetry = base._symmetry
+
+    def load_frame(self, i: int) -> Frame:
+        if i in self._cache:
+            return self._cache[i]
+        d = np.load(os.path.join(self.snap_dir, f"{i:06d}.npz"))
+        frame = Frame(
+            color=d["color"], label=d["label"], depth=d["depth"],
+            cls_indexes=d["cls_indexes"], poses=d["poses"], center=d["center"],
+            intrinsic_matrix=d["intrinsic_matrix"],
+            factor_depth=float(d["factor_depth"]),
+            is_synthetic=True,
+        )
+        got = _frame_digest(frame)
+        want = self.manifest["frames"][i]
+        if got != want:
+            raise RuntimeError(
+                f"{self.name} frame {i}: snapshot hash mismatch ({got[:12]} != "
+                f"{want[:12]}) — the on-disk val snapshot does not match the "
+                f"committed manifest; re-freeze with tools/freeze_dataset.py"
+            )
+        self._cache[i] = frame
+        return frame
 
 
 class SyntheticDataset:

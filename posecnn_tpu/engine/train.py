@@ -145,6 +145,8 @@ def compute_losses(
         gt_label_2d=batch["gt_label_2d"],
         rng=rng,
     )
+    if getattr(model_cfg, "hough_from_gt", False):
+        fwd_kwargs["gt_centers"] = batch["gt_centers"]
     if forward is posecnn_forward:
         data_p = batch.get("data_p")
         if data_p is not None and data_p.dtype == jnp.uint8:

@@ -38,7 +38,7 @@ def _load() -> Optional[ctypes.CDLL]:
         u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
         lib.rasterize_mesh.argtypes = [
             f32p, ctypes.c_int, i32p, ctypes.c_int,
-            ctypes.c_void_p, f32p, f32p, f32p,
+            ctypes.c_void_p, f32p, f32p, f32p, f32p,
             ctypes.c_int, ctypes.c_int, ctypes.c_int,
             u8p, f32p, i32p, f32p,
         ]
@@ -63,6 +63,9 @@ class SceneBuffers:
         self.vertmap = np.zeros((height, width, 3), np.float32)
 
 
+DEFAULT_LIGHT = (0.0, 0.0, -1.0, 0.35, 0.65)  # headlight; pre-round-3 behavior
+
+
 def rasterize_mesh(
     buffers: SceneBuffers,
     vertices: np.ndarray,
@@ -72,13 +75,19 @@ def rasterize_mesh(
     cls_id: int,
     vertex_colors: Optional[np.ndarray] = None,
     base_color: Tuple[float, float, float] = (0.7, 0.7, 0.7),
+    light: Tuple[float, float, float, float, float] = DEFAULT_LIGHT,
 ) -> None:
-    """Rasterize one object instance into the scene buffers (z-tested)."""
+    """Rasterize one object instance into the scene buffers (z-tested).
+
+    `light` = (lx, ly, lz, ambient, diffuse): camera-frame Lambert light;
+    randomized per scene by the synthesizer so shading encodes rotation.
+    """
     vertices = np.ascontiguousarray(vertices, np.float32)
     faces = np.ascontiguousarray(faces, np.int32)
     pose = np.ascontiguousarray(pose, np.float32).reshape(3, 4)
     K33 = np.ascontiguousarray(K, np.float32).reshape(3, 3)
     base = np.ascontiguousarray(base_color, np.float32)
+    lt = np.ascontiguousarray(light, np.float32)
     h, w = buffers.depth.shape
     lib = _load()
     if lib is not None:
@@ -88,13 +97,13 @@ def rasterize_mesh(
         lib.rasterize_mesh(
             vertices, len(vertices), faces, len(faces),
             vc.ctypes.data if vc is not None else None,
-            base, pose.reshape(-1), K33.reshape(-1),
+            base, pose.reshape(-1), K33.reshape(-1), lt,
             h, w, int(cls_id),
             buffers.color, buffers.depth.reshape(-1), buffers.label.reshape(-1),
             buffers.vertmap.reshape(h * w * 3),
         )
         return
-    _rasterize_numpy(buffers, vertices, faces, pose, K33, cls_id, vertex_colors, base)
+    _rasterize_numpy(buffers, vertices, faces, pose, K33, cls_id, vertex_colors, base, lt)
 
 
 def rasterize_depth(
@@ -122,18 +131,24 @@ def rasterize_depth(
     buf = SceneBuffers(h, w)
     buf.depth[:] = depth
     buf.label[:] = label
-    _rasterize_numpy(buf, vertices, faces, pose, K33, cls_id, None, np.ones(3, np.float32))
+    _rasterize_numpy(
+        buf, vertices, faces, pose, K33, cls_id, None, np.ones(3, np.float32),
+        np.asarray(DEFAULT_LIGHT, np.float32),
+    )
     depth[:] = buf.depth
     label[:] = buf.label
 
 
-def _rasterize_numpy(buffers, vertices, faces, pose, K, cls_id, vertex_colors, base):
+def _rasterize_numpy(buffers, vertices, faces, pose, K, cls_id, vertex_colors, base, light):
     """Slow but dependency-free fallback (vectorized per-face)."""
     cam = vertices @ pose[:, :3].T + pose[:, 3]
     z = np.maximum(cam[:, 2], 1e-6)
     sx = K[0, 0] * cam[:, 0] / z + K[0, 2]
     sy = K[1, 1] * cam[:, 1] / z + K[1, 2]
     h, w = buffers.depth.shape
+    ldir = np.asarray(light[:3], np.float64)
+    ldir = ldir / max(np.linalg.norm(ldir), 1e-12)
+    ambient, diffuse = float(light[3]), float(light[4])
     for f in faces:
         p = np.stack([sx[f], sy[f]], axis=1)
         zf = cam[f, 2]
@@ -160,5 +175,8 @@ def _rasterize_numpy(buffers, vertices, faces, pose, K, cls_id, vertex_colors, b
         a = np.stack([w0 / zf[0], w1 / zf[1], w2 / zf[2]], axis=-1) * zp[..., None]
         vm = a @ vertices[f]
         buffers.vertmap[y0 : y1 + 1, x0 : x1 + 1][closer] = vm[closer]
-        col = (a @ (vertex_colors[f] if vertex_colors is not None else np.tile(base, (3, 1)))) * 255.0
+        n = np.cross(cam[f[1]] - cam[f[0]], cam[f[2]] - cam[f[0]])
+        nl = np.linalg.norm(n)
+        shade = ambient + diffuse * (abs(float(n @ ldir)) / nl if nl > 1e-12 else 1.0)
+        col = (a @ (vertex_colors[f] if vertex_colors is not None else np.tile(base, (3, 1)))) * shade * 255.0
         buffers.color[y0 : y1 + 1, x0 : x1 + 1][closer] = np.clip(col[closer], 0, 255).astype(np.uint8)

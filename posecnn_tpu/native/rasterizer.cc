@@ -20,7 +20,12 @@ extern "C" {
 
 // vertices: (V,3) object-frame points; faces: (F,3) vertex indices;
 // vertex_colors: (V,3) in [0,1] or nullptr (flat color via base_color);
-// pose: row-major 3x4 [R|t] object->camera; K: row-major 3x3 intrinsics.
+// pose: row-major 3x4 [R|t] object->camera; K: row-major 3x3 intrinsics;
+// light: 5 floats [lx,ly,lz, ambient, diffuse] — camera-frame light
+// direction (need not be normalized) + Lambert terms. The reference renders
+// with OpenGL lighting (lib/synthesize/synthesize.cpp:345-470); here a
+// per-face Lambert term plays that role, with the direction randomized per
+// scene by the caller so shading carries rotation information.
 // Buffers: color (H,W,3) uint8, depth (H,W) float32 (0 = empty),
 // label (H,W) int32, vertmap (H,W,3) float32 (object coordinates).
 // All buffers are read-modify-write with z-test so multiple calls compose.
@@ -28,7 +33,7 @@ void rasterize_mesh(
     const float* vertices, int num_vertices,
     const int* faces, int num_faces,
     const float* vertex_colors, const float* base_color,
-    const float* pose, const float* K,
+    const float* pose, const float* K, const float* light,
     int height, int width, int cls_id,
     uint8_t* color, float* depth, int32_t* label, float* vertmap) {
   const float fx = K[0], px = K[2], fy = K[4], py = K[5];
@@ -47,8 +52,14 @@ void rasterize_mesh(
     scr[2 * i + 1] = fy * cam[3 * i + 1] / z + py;
   }
 
-  // simple lambert shading direction (camera-frame headlight)
-  const float light[3] = {0.0f, 0.0f, -1.0f};
+  // Lambert shading: |n.l| is used (not one-sided) because hull meshes have
+  // unoriented faces; ambient + diffuse from the light argument.
+  float ldir[3] = {light[0], light[1], light[2]};
+  const float ambient = light[3], diffuse = light[4];
+  {
+    const float ln = std::sqrt(ldir[0] * ldir[0] + ldir[1] * ldir[1] + ldir[2] * ldir[2]);
+    if (ln > 1e-12f) { ldir[0] /= ln; ldir[1] /= ln; ldir[2] /= ln; }
+  }
 
   for (int f = 0; f < num_faces; f++) {
     const int i0 = faces[3 * f], i1 = faces[3 * f + 1], i2 = faces[3 * f + 2];
@@ -73,8 +84,8 @@ void rasterize_mesh(
     n[2] = e1[0] * e2[1] - e1[1] * e2[0];
     float nl = std::sqrt(n[0] * n[0] + n[1] * n[1] + n[2] * n[2]);
     if (nl < 1e-12f) continue;
-    float shade = std::fabs((n[0] * light[0] + n[1] * light[1] + n[2] * light[2]) / nl);
-    shade = 0.35f + 0.65f * shade;
+    float shade = std::fabs((n[0] * ldir[0] + n[1] * ldir[1] + n[2] * ldir[2]) / nl);
+    shade = ambient + diffuse * shade;
 
     const int min_x = std::max(0, (int)std::floor(std::min({p0[0], p1[0], p2[0]})));
     const int max_x = std::min(width - 1, (int)std::ceil(std::max({p0[0], p1[0], p2[0]})));

@@ -82,3 +82,189 @@ def test_loaded_mesh_rasterizes(tmp_path):
     pose[:, 3] = [-0.5, -0.5, 2.0]  # center the unit quad, push back
     rasterize_mesh(buf, m.vertices, m.faces, pose, K, cls_id=1)
     assert (buf.label == 1).sum() > 50
+
+
+PLY_RGB = """ply
+format ascii 1.0
+element vertex 3
+property float x
+property float y
+property float z
+property uchar red
+property uchar green
+property uchar blue
+element face 1
+property list uchar int vertex_indices
+end_header
+0 0 0 255 0 0
+1 0 0 0 255 0
+0 1 0 0 0 255
+3 0 1 2
+"""
+
+
+def test_ply_vertex_colors_ascii(tmp_path):
+    p = tmp_path / "c.ply"
+    p.write_text(PLY_RGB)
+    m = Mesh.from_ply(str(p))
+    assert m.colors is not None and m.colors.shape == (3, 3)
+    np.testing.assert_allclose(m.colors[0], [1, 0, 0], atol=1e-6)
+    np.testing.assert_allclose(m.colors[1], [0, 1, 0], atol=1e-6)
+
+
+def _write_binary_ply(path, verts, colors, faces):
+    import struct
+
+    with open(path, "wb") as fh:
+        fh.write(b"ply\nformat binary_little_endian 1.0\n")
+        fh.write(b"element vertex %d\n" % len(verts))
+        fh.write(
+            b"property float x\nproperty float y\nproperty float z\n"
+            b"property uchar red\nproperty uchar green\nproperty uchar blue\n"
+        )
+        fh.write(b"element face %d\n" % len(faces))
+        fh.write(b"property list uchar int vertex_indices\nend_header\n")
+        for v, c in zip(verts, colors):
+            fh.write(struct.pack("<fffBBB", *v, *c))
+        for f in faces:
+            fh.write(struct.pack("<Biii", 3, *f))
+
+
+def test_ply_vertex_colors_binary(tmp_path):
+    p = tmp_path / "b.ply"
+    _write_binary_ply(
+        p,
+        [(0, 0, 0), (1, 0, 0), (1, 1, 0), (0, 1, 0)],
+        [(255, 0, 0), (0, 255, 0), (0, 0, 255), (128, 128, 128)],
+        [(0, 1, 2), (0, 2, 3)],
+    )
+    m = Mesh.from_ply(str(p))
+    assert m.vertices.shape == (4, 3)
+    assert m.faces.shape == (2, 3)
+    np.testing.assert_allclose(m.vertices[2], [1, 1, 0])
+    np.testing.assert_allclose(m.colors[3], [128 / 255.0] * 3, atol=1e-6)
+
+
+def test_vertex_color_interpolation():
+    """Rasterized colors interpolate the vertex colors (not flat-filled).
+
+    Lighting is neutralized (ambient=1, diffuse=0) so the test isolates
+    interpolation; checks the native path and the NumPy fallback agree."""
+    from posecnn_tpu.native import SceneBuffers, _rasterize_numpy, rasterize_mesh
+
+    verts = np.array([[-1, -1, 0], [1, -1, 0], [1, 1, 0], [-1, 1, 0]], np.float32)
+    faces = np.array([[0, 1, 2], [0, 2, 3]], np.int32)
+    colors = np.array([[1, 0, 0], [0, 1, 0], [0, 0, 1], [1, 1, 1]], np.float32)
+    K = np.array([[40.0, 0, 32], [0, 40.0, 24], [0, 0, 1]], np.float32)
+    pose = np.concatenate([np.eye(3, dtype=np.float32), [[0], [0], [2.0]]], axis=1)
+    light = (0.0, 0.0, -1.0, 1.0, 0.0)
+
+    buf = SceneBuffers(48, 64)
+    rasterize_mesh(buf, verts, faces, pose, K, 1, vertex_colors=colors, light=light)
+    lab = buf.label == 1
+    assert lab.sum() > 100
+    # non-flat: many distinct colors across the object
+    cols = buf.color[lab]
+    assert len(np.unique(cols.view([("r", "u1"), ("g", "u1"), ("b", "u1")]))) > 50
+    # corner pixels approach their vertex colors: bottom-left ~ red
+    ys, xs = np.where(lab)
+    bl = np.argmin(xs + ys)
+    assert buf.color[ys[bl], xs[bl], 0] > 150 and buf.color[ys[bl], xs[bl], 2] < 100
+
+    buf2 = SceneBuffers(48, 64)
+    _rasterize_numpy(
+        buf2, verts, faces, pose, K, 1, colors, np.ones(3, np.float32),
+        np.asarray(light, np.float32),
+    )
+    inter = lab & (buf2.label == 1)
+    diff = np.abs(
+        buf.color[inter].astype(np.int32) - buf2.color[inter].astype(np.int32)
+    )
+    assert np.median(diff) <= 2  # same interpolation up to rounding
+
+
+def test_light_direction_changes_shading():
+    """Different light directions produce different renders of the same
+    non-planar object (rotation becomes observable through shading)."""
+    from posecnn_tpu.native import SceneBuffers, rasterize_mesh
+
+    # a tetrahedron: faces with distinct normals
+    verts = np.array(
+        [[0, 0, 0.5], [0.5, 0, -0.2], [-0.3, 0.4, -0.2], [-0.3, -0.4, -0.2]], np.float32
+    )
+    faces = np.array([[0, 1, 2], [0, 2, 3], [0, 3, 1], [1, 3, 2]], np.int32)
+    K = np.array([[60.0, 0, 32], [0, 60.0, 24], [0, 0, 1]], np.float32)
+    pose = np.concatenate([np.eye(3, dtype=np.float32), [[0], [0], [2.0]]], axis=1)
+
+    imgs = []
+    for light in [(0, 0, -1, 0.3, 0.7), (1, 0.5, 0.2, 0.3, 0.7)]:
+        buf = SceneBuffers(48, 64)
+        rasterize_mesh(buf, verts, faces, pose, K, 1, light=light)
+        imgs.append(buf.color.astype(np.int32))
+        assert (buf.label == 1).sum() > 50
+    assert np.abs(imgs[0] - imgs[1]).max() > 20
+
+
+def test_procedural_vertex_colors_deterministic():
+    from posecnn_tpu.data.synthetic import procedural_vertex_colors
+
+    rng = np.random.RandomState(0)
+    verts = rng.randn(500, 3).astype(np.float32) * 0.05
+    base = np.array([0.8, 0.2, 0.2], np.float32)
+    c1 = procedural_vertex_colors(verts, 3, base)
+    c2 = procedural_vertex_colors(verts, 3, base)
+    np.testing.assert_array_equal(c1, c2)  # deterministic in cls_id
+    c3 = procedural_vertex_colors(verts, 4, base)
+    assert np.abs(c1 - c3).max() > 0.1  # differs across classes
+    # genuinely non-flat over the surface
+    assert c1.std(axis=0).max() > 0.05
+    assert c1.min() >= 0.0 and c1.max() <= 1.0
+
+
+def test_synthesizer_renders_textured_scene():
+    """End-to-end: synthetic scenes are no longer flat per-class colors."""
+    from posecnn_tpu.data.factory import get_imdb
+
+    imdb = get_imdb("lov_syn_train")
+    frame = imdb.load_frame(0)
+    lab_classes = np.unique(frame.label)
+    lab_classes = lab_classes[lab_classes > 0]
+    assert len(lab_classes) >= 2
+    for c in lab_classes:
+        m = frame.label == c
+        if m.sum() < 500:
+            continue
+        px = frame.color[m].astype(np.float32)
+        # per-channel std across the object's pixels: flat rendering gives ~0
+        assert px.std(axis=0).max() > 8.0, f"class {c} renders flat"
+
+
+def test_frozen_val_snapshot(tmp_path):
+    """freeze_dataset -> FrozenSyntheticDataset round-trip + tamper detection."""
+    import json
+
+    from posecnn_tpu.data.lov import lov
+    from posecnn_tpu.data.synthetic import (
+        FrozenSyntheticDataset,
+        SyntheticDataset,
+        freeze_dataset,
+    )
+
+    base = lov("train")
+    live = SyntheticDataset(base, split="val", num_images=2)
+    out = str(tmp_path / "snap")
+    freeze_dataset(live, out)
+    frozen = FrozenSyntheticDataset(base, out)
+    f_live, f_frozen = live.load_frame(1), frozen.load_frame(1)
+    np.testing.assert_array_equal(f_live.color, f_frozen.color)
+    np.testing.assert_array_equal(f_live.label, f_frozen.label)
+    np.testing.assert_allclose(f_live.poses, f_frozen.poses)
+
+    # tampering with the manifest is detected loudly
+    mpath = tmp_path / "snap" / "manifest.json"
+    m = json.loads(mpath.read_text())
+    m["frames"][0] = "0" * 64
+    mpath.write_text(json.dumps(m))
+    bad = FrozenSyntheticDataset(base, out)
+    with pytest.raises(RuntimeError, match="hash mismatch"):
+        bad.load_frame(0)

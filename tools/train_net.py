@@ -118,6 +118,7 @@ def main():
         hough_pixel_stride=cfg.TPU.HOUGH_PIXEL_STRIDE,
         skip_pixels=cfg.TPU.HOUGH_SKIP_PIXELS,
         use_crop_pool=cfg.TPU.USE_CROP_POOL,
+        hough_from_gt=cfg.TPU.HOUGH_FROM_GT,
     )
     hp = TrainHParams(
         learning_rate=cfg.TRAIN.LEARNING_RATE,
