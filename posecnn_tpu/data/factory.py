@@ -42,14 +42,18 @@ def _install_defaults():
 
         from posecnn_tpu.data.synthetic import FrozenSyntheticDataset, SyntheticDataset
 
-        # the val split serves from the frozen on-disk snapshot when present
-        # (hash-pinned by the committed manifest — see freeze_dataset) so
-        # renderer changes can never silently move the accuracy benchmark
-        if split == "val":
-            here = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-            snap = os.path.join(here, "data", "lov_syn_val_v3")
-            if os.path.exists(os.path.join(snap, "manifest.json")):
-                return FrozenSyntheticDataset(lov("train"), snap)
+        # both splits serve from a frozen on-disk snapshot when present
+        # (hash-pinned by a manifest — see freeze_dataset): the val manifest
+        # is committed so renderer changes can never silently move the
+        # accuracy benchmark; the train snapshot (not committed, regenerable)
+        # amortizes the ~0.4 s/frame render cost across training restarts
+        here = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+        snap = os.path.join(
+            here, "data",
+            "lov_syn_val_v3" if split == "val" else "lov_syn_train_frozen",
+        )
+        if os.path.exists(os.path.join(snap, "manifest.json")):
+            return FrozenSyntheticDataset(lov("train"), snap)
         n = 2000 if split == "train" else 64
         return SyntheticDataset(lov("train"), split=split, num_images=n)
 

@@ -227,6 +227,39 @@ def decode_poses_3d(
     return np.asarray(rois, np.float32), np.asarray(poses, np.float32)
 
 
+def test_net_segmentation(
+    params,
+    apply_fn,
+    dataset,
+    pixel_means,
+    evaluator=None,
+    max_frames: Optional[int] = None,
+    log=print,
+):
+    """Segmentation-only evaluation for the RESNET50 / FCN8VGG variants:
+    per-frame label prediction -> IoU histogram (the reference evaluates
+    these through evaluate_segmentations / fast_hist, lib/datasets/imdb.py:123).
+
+    apply_fn: (params, data_f32) -> endpoint dict with 'label_2d'."""
+    means = jnp.asarray(np.asarray(pixel_means).reshape(-1)[:3], jnp.float32).reshape(1, 1, 1, 3)
+
+    @jax.jit
+    def infer(params, raw_u8):
+        data = raw_u8.astype(jnp.float32) - means
+        return apply_fn(params, data)["label_2d"]
+
+    n = dataset.num_images if max_frames is None else min(max_frames, dataset.num_images)
+    for i in range(n):
+        frame = dataset.load_frame(i)
+        label_pred = np.asarray(jax.device_get(infer(params, jnp.asarray(frame.color[None]))))[0]
+        if evaluator is not None:
+            evaluator.add_frame(label_pred, frame.label)
+        if log and (i + 1) % 50 == 0:
+            log(f"frame {i + 1}/{n}")
+    if evaluator is not None and log:
+        log(str(evaluator.summary()))
+
+
 def test_net(
     params,
     model_cfg: PoseCNNConfig,

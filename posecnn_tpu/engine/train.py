@@ -312,6 +312,55 @@ def make_train_step(
     return jitted
 
 
+def make_seg_train_step(apply_fn: Callable, hp: TrainHParams, num_classes: int):
+    """Train step for the segmentation-only variants (RESNET50 / FCN8VGG).
+
+    The reference routes these through the plain cross-entropy branch of
+    train_net (lib/fcn/train.py:482-488 for FCN8VGG: one-hot GT labels
+    against the log-softmax, normalized by the label mass) with L2
+    regularization on conv weights only (BN means/variances carry no
+    regularizer, network.py:530-556).
+
+    apply_fn: (params, data_f32, rng) -> endpoint dict with 'prob'
+    (log-softmax). Returns jitted (state, batch, rng) -> (state, metrics);
+    state = (params, opt_state, step).
+    """
+    tx = make_optimizer(hp)
+    sched = lr_schedule(hp)
+    means = jnp.asarray(hp.pixel_means, jnp.float32).reshape(1, 1, 1, 3)
+
+    def loss_fn(params, data, gt_label, rng):
+        if data.dtype == jnp.uint8:
+            data = data.astype(jnp.float32) - means
+        out = apply_fn(params, data, rng)
+        logp = out["prob"]
+        C = logp.shape[-1]
+        valid = (gt_label >= 0)[..., None]
+        onehot = jax.nn.one_hot(jnp.clip(gt_label, 0, C - 1), C) * valid
+        loss_cls = loss_cross_entropy_single_frame(logp, onehot)
+        reg = 0.0
+        for name, p in params.items():
+            if name.startswith(("upscore", "bn")):
+                continue
+            for leaf in p.values():
+                reg = reg + jnp.sum(jnp.square(leaf))
+        loss = loss_cls + hp.weight_reg * 0.5 * reg
+        return loss, {"loss": loss, "loss_cls": loss_cls}
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step(state, batch, rng):
+        params, opt_state, it = state
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, batch["data"], batch["gt_label_2d"], rng
+        )
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        metrics["lr"] = sched(it)
+        return (params, opt_state, it + 1), metrics
+
+    return step
+
+
 def create_train_state(model_cfg: PoseCNNConfig, hp: TrainHParams, rng: jax.Array):
     params = init_posecnn_params(rng, model_cfg)
     tx = make_optimizer(hp)

@@ -33,6 +33,17 @@ def _bn(params, x, relu=False):
     return jax.nn.relu(y) if relu else y
 
 
+def _he(key, shape):
+    # He/MSRA fan-in scaling: the reference's fixed 0.001 initializer
+    # (network.py make_var) only works because its ResNet50 is always
+    # overwritten by pretrained Caffe weights — 50 layers of stddev-0.001
+    # kernels attenuate activations to ~0 and from-scratch training freezes
+    # at the uniform prior (loss pinned at ln(C)).
+    import math
+
+    return L.trunc_normal(key, shape, stddev=math.sqrt(2.0 / (shape[0] * shape[1] * shape[2])))
+
+
 def init_resnet50_params(key: jax.Array, num_classes: int, input_dim: int = 3) -> Dict:
     ks = iter(jax.random.split(key, 64))
     p: Dict[str, Any] = {}
@@ -41,15 +52,21 @@ def init_resnet50_params(key: jax.Array, num_classes: int, input_dim: int = 3) -
     c_in = 64
     for stage, blocks, mid, out, _stride in _STAGES:
         # projection shortcut for the first block
-        p[f"res{stage}a_branch1"] = {"weights": L.trunc_normal(next(ks), (1, 1, c_in, out))}
+        p[f"res{stage}a_branch1"] = {"weights": _he(next(ks), (1, 1, c_in, out))}
         p[f"bn{stage}a_branch1"] = _init_bn(out)
         for b in blocks:
             cin_b = c_in if b == "a" else out
-            p[f"res{stage}{b}_branch2a"] = {"weights": L.trunc_normal(next(ks), (1, 1, cin_b, mid))}
+            p[f"res{stage}{b}_branch2a"] = {"weights": _he(next(ks), (1, 1, cin_b, mid))}
             p[f"bn{stage}{b}_branch2a"] = _init_bn(mid)
-            p[f"res{stage}{b}_branch2b"] = {"weights": L.trunc_normal(next(ks), (3, 3, mid, mid))}
+            p[f"res{stage}{b}_branch2b"] = {"weights": _he(next(ks), (3, 3, mid, mid))}
             p[f"bn{stage}{b}_branch2b"] = _init_bn(mid)
-            p[f"res{stage}{b}_branch2c"] = {"weights": L.trunc_normal(next(ks), (1, 1, mid, out))}
+            # last conv of each residual branch starts small (fixup-style):
+            # the inference-BN (stored mean/var, no batch stats) is a no-op at
+            # init, so He-scaled branches double activation variance per block
+            # and the 16-block stack diverges from scratch
+            p[f"res{stage}{b}_branch2c"] = {
+                "weights": L.trunc_normal(next(ks), (1, 1, mid, out), stddev=0.01)
+            }
             p[f"bn{stage}{b}_branch2c"] = _init_bn(out)
         c_in = out
     p["score"] = L.init_conv(next(ks), 1, 1, 2048, num_classes, stddev=0.01)
@@ -74,7 +91,10 @@ def resnet50_forward(params: Dict, data: jnp.ndarray, num_classes: int, compute_
             x = _bn(params[f"bn{stage}{b}_branch2c"], x)
             h = jax.nn.relu((shortcut if b == "a" else h) + x)
             shortcut = None
-    score = L.conv2d(params["score"], h, relu=True, compute_dtype=dt)
+    # relu=False: the reference DSL conv default puts a ReLU on these logits
+    # (network.py conv relu=True) — a latent head bug fixed across all
+    # variants in round 2; half-rectified logits halve the usable gradient
+    score = L.conv2d(params["score"], h, relu=False, compute_dtype=dt)
     upscore = L.deconv(params["upscore"], score, stride=16)
     return {
         "score": upscore,

@@ -92,6 +92,36 @@ def main():
         print(json.dumps(summary, indent=2))
         return
 
+    if cfg.NETWORK in ("RESNET50", "FCN8VGG") or args.network_name in ("resnet50", "fcn8_vgg"):
+        # segmentation-only variants: label IoU evaluation
+        # (reference evaluate_segmentations, lib/datasets/imdb.py:123)
+        import json
+        import os
+
+        from posecnn_tpu.engine.test import test_net_segmentation
+        from posecnn_tpu.models.factory import get_network
+
+        name = "resnet50" if (cfg.NETWORK == "RESNET50" or args.network_name == "resnet50") else "fcn8_vgg"
+        init_fn, fwd = get_network(name)
+        C = imdb.num_classes
+        params = init_fn(jax.random.PRNGKey(cfg.RNG_SEED), C)
+        if args.model:
+            from posecnn_tpu.core.checkpoint import restore_checkpoint
+
+            params = restore_checkpoint(args.model, params)
+        evaluator = PoseEvaluator(imdb.classes, imdb._extents, imdb._points, [])
+        test_net_segmentation(
+            params, lambda p, d: fwd(p, d, C), imdb, cfg.pixel_means(),
+            evaluator=evaluator, max_frames=args.max_frames,
+        )
+        summary = evaluator.summary()
+        out_dir = args.output or get_output_dir(imdb.name, name)
+        os.makedirs(out_dir, exist_ok=True)
+        with open(os.path.join(out_dir, "eval_summary.json"), "w") as f:
+            json.dump(summary, f, indent=2)
+        print(json.dumps({"mean_iou": summary["mean_iou"]}, indent=2))
+        return
+
     model_cfg = PoseCNNConfig(
         num_classes=imdb.num_classes,
         num_units=cfg.TRAIN.NUM_UNITS,

@@ -84,6 +84,13 @@ def main():
         train_det(args, cfg, imdb)
         return
 
+    # segmentation-only variants route through the network factory (the
+    # reference get_network serves every variant, lib/networks/factory.py:47-51)
+    if cfg.NETWORK in ("RESNET50", "FCN8VGG") or args.network_name in ("resnet50", "fcn8_vgg"):
+        name = "resnet50" if (cfg.NETWORK == "RESNET50" or args.network_name == "resnet50") else "fcn8_vgg"
+        train_segmentation(args, cfg, imdb, name)
+        return
+
     # vgg16_full: dense all-scale FCN variant; same endpoint contract, its
     # own forward fn + the hard-coded 0.7 hard-label gate (vgg16_full.py:131)
     forward_fn = None
@@ -299,6 +306,67 @@ def main():
         state, start_iter = solver.resume(state)
     solver.train(data_iter, state, args.max_iters, start_iter=start_iter)
     print("done solving")
+
+
+def train_segmentation(args, cfg, imdb, network_name: str):
+    """Segmentation-only variant training (RESNET50 / FCN8VGG): the reference
+    trains these through train_net's plain cross-entropy branch
+    (lib/fcn/train.py:482-488)."""
+    import jax
+
+    from posecnn_tpu.core.config import get_output_dir
+    from posecnn_tpu.data.layer import GtSynthesizeLayer, prefetch
+    from posecnn_tpu.data.minibatch import MinibatchConfig
+    from posecnn_tpu.engine.train import TrainHParams, make_optimizer, make_seg_train_step
+    from posecnn_tpu.models.factory import get_network
+
+    init_fn, forward_fn = get_network(network_name)
+    hp = TrainHParams(
+        learning_rate=cfg.TRAIN.LEARNING_RATE, momentum=cfg.TRAIN.MOMENTUM,
+        gamma=cfg.TRAIN.GAMMA, stepsize=cfg.TRAIN.STEPSIZE,
+        weight_reg=cfg.TRAIN.WEIGHT_REG, clip_grad_norm=cfg.TRAIN.GRAD_CLIP,
+    )
+    C = imdb.num_classes
+    if network_name == "fcn8_vgg":
+        apply_fn = lambda p, d, rng: forward_fn(p, d, C, keep_prob=0.5, rng=rng)
+    else:
+        apply_fn = lambda p, d, rng: forward_fn(p, d, C)
+    mcfg = MinibatchConfig(
+        num_classes=C, pixel_means=cfg.pixel_means(),
+        chromatic=cfg.TRAIN.CHROMATIC, add_noise=cfg.TRAIN.ADD_NOISE,
+        vertex_reg=False, device_targets=cfg.TPU.DEVICE_TARGETS,
+        input_format=cfg.INPUT,
+    )
+    layer = GtSynthesizeLayer(
+        imdb, mcfg, ims_per_batch=cfg.TRAIN.IMS_PER_BATCH, seed=cfg.RNG_SEED
+    )
+    params = init_fn(jax.random.PRNGKey(cfg.RNG_SEED), C)
+    state = (params, make_optimizer(hp).init(params), jax.numpy.asarray(0, jax.numpy.int32))
+    step = make_seg_train_step(apply_fn, hp, C)
+    output_dir = args.output or get_output_dir(imdb.name, network_name)
+    data_iter = prefetch(iter(layer), depth=cfg.TPU.PREFETCH)
+    import time
+
+    from posecnn_tpu.core.checkpoint import save_checkpoint
+
+    rng = jax.random.PRNGKey(cfg.RNG_SEED)
+    t0 = time.time()
+    for it in range(args.max_iters):
+        batch = next(data_iter)
+        rng, sub = jax.random.split(rng)
+        state, m = step(state, batch, sub)
+        if (it + 1) % cfg.TRAIN.DISPLAY == 0:
+            vals = {k: float(v) for k, v in m.items()}
+            print(
+                f"iter {it + 1}/{args.max_iters} "
+                + " ".join(f"{k}: {v:.4f}" for k, v in sorted(vals.items()))
+                + f" ({time.time() - t0:.1f}s)"
+            )
+            t0 = time.time()
+        if (it + 1) % cfg.TRAIN.SNAPSHOT_ITERS == 0 or it + 1 == args.max_iters:
+            save_checkpoint(output_dir, state, it + 1, prefix=cfg.TRAIN.SNAPSHOT_PREFIX,
+                            include_opt_state=cfg.TPU.CHECKPOINT_OPT_STATE)
+    print(f"done solving ({network_name})")
 
 
 def train_det(args, cfg, imdb):
