@@ -47,10 +47,10 @@ def state_shardings(mesh: Mesh, state):
     channel-sharded over the model axis for large kernels when model>1 (TP);
     the step counter is replicated."""
     params, opt_state, _ = state
-    rule = lambda leaf: param_sharding(mesh, leaf=leaf)
+    rule = lambda path, leaf: param_sharding(mesh, path=jax.tree_util.keystr(path), leaf=leaf)
     return (
-        jax.tree_util.tree_map(rule, params),
-        jax.tree_util.tree_map(rule, opt_state),
+        jax.tree_util.tree_map_with_path(rule, params),
+        jax.tree_util.tree_map_with_path(rule, opt_state),
         replicated(mesh),
     )
 

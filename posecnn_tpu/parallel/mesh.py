@@ -68,8 +68,15 @@ def param_sharding(mesh: Mesh, path: str = "", leaf=None) -> NamedSharding:
     """Parameter sharding rule. Default: fully replicated.
 
     Hook point for tensor parallelism: shard the output-channel axis of
-    large conv/fc kernels over MODEL_AXIS when spec.model > 1.
+    large conv/fc kernels over MODEL_AXIS when spec.model > 1. Bilinear
+    deconv interpolation filters ("upscore*") are excluded regardless of
+    size: they are fixed resampling weights (reference trains them frozen,
+    network.py make_deconv_filter) and channel-sharding one inserts an
+    all-gather for zero FLOP savings — the full-width upscore_vertex filter
+    (16*16*128*128) lands exactly on the 4M-element threshold otherwise.
     """
+    if "upscore" in str(path):
+        return NamedSharding(mesh, P())
     if mesh.shape[MODEL_AXIS] > 1 and leaf is not None and getattr(leaf, "ndim", 0) >= 2:
         # channel-shard the last axis of big kernels (fc6/fc7 dominate)
         if leaf.size >= TP_MIN_SIZE and leaf.shape[-1] % mesh.shape[MODEL_AXIS] == 0:

@@ -1,6 +1,8 @@
 """Real multi-process (multi-"host") test: two coordinated CPU processes
-form one global JAX runtime, build a 4-device global mesh, and run a psum +
-a sharded SGD-style step through parallel.launch helpers.
+form one global JAX runtime, build a 4-device global mesh, and run (a) a
+cross-process psum and (b) the REAL PoseCNN train step (tiny trunk) with
+each process contributing its local half of the global batch — gradients
+reduce over a data axis that spans both processes.
 
 This is the CPU stand-in for a 2-host TPU pod slice: same
 jax.distributed.initialize + global-mesh + make_array_from_process_local_data
@@ -33,27 +35,62 @@ WORKER = textwrap.dedent(
     mesh = make_mesh(MeshSpec(data=4, model=1))
     assert process_local_batch_size(mesh, 8) == 4
 
-    # each process contributes its local half of a global batch of 8 rows.
-    # keys outside DATA_SHARDED_KEYS replicate (a 'poses' table whose rows
-    # merely divide the data axis must not be concatenated), so the custom
-    # key is named explicitly; 'poses' round-trips as replicated.
+    # sanity: cross-process psum through a plain jit reduction
     local = np.arange(4 * 3, dtype=np.float32).reshape(4, 3) + 100 * pid
-    poses = np.ones((6, 13), np.float32)
-    batch = global_batch_from_local(mesh, {"x": local, "poses": poses}, batch_keys=("x",))
-    assert batch["poses"].shape == (6, 13), batch["poses"].shape
-
+    batch0 = global_batch_from_local(mesh, {"x": local}, batch_keys=("x",))
     import jax.numpy as jnp
-    from jax.sharding import NamedSharding, PartitionSpec as P
 
-    @jax.jit
-    def step(x):
-        return jnp.sum(x), (x * 2.0).sum(axis=1)
-
-    total, rows = step(batch["x"])
-    # global sum over both processes' halves
+    total = float(jax.jit(jnp.sum)(batch0["x"]))
     expect = float(np.arange(12).sum() + (np.arange(12) + 100).sum())
-    assert abs(float(total) - expect) < 1e-3, (float(total), expect)
-    print(f"proc {pid} ok total={float(total)}")
+    assert abs(total - expect) < 1e-3, (total, expect)
+
+    # the REAL train step (tiny model) across both processes: each process
+    # contributes its local half of the global batch of 8 frames; params
+    # replicate, gradients psum over the 4-device data axis spanning hosts
+    from posecnn_tpu.engine.train import TrainHParams, create_train_state, make_train_step
+    from posecnn_tpu.models.posecnn import PoseCNNConfig
+
+    C, H, W = 4, 32, 32
+    cfg = PoseCNNConfig(
+        num_classes=C, num_units=8, trunk_scale=0.25, vertex_reg=True,
+        pose_reg=True, is_train=True, keep_prob=1.0, compute_dtype=jnp.float32,
+        hough_class_slots=2, hough_max_samples=32, hough_center_stride=4,
+        hough_refine_window=8, label_threshold=5, fc_dim=64,
+    )
+    hp = TrainHParams(stepsize=1000, learning_rate=0.01, vertex_w=1.0)
+    rng = np.random.RandomState(10 + pid)
+    meta = np.zeros((4, 48), np.float32)
+    meta[:, 0] = meta[:, 4] = 60.0
+    meta[:, 2], meta[:, 5] = W / 2.0, H / 2.0
+    local_batch = {
+        "data": rng.randn(4, H, W, 3).astype(np.float32),
+        "gt_label_2d": rng.randint(0, C, size=(4, H, W)).astype(np.int32),
+        "vertex_targets": rng.randn(4, H, W, 3 * C).astype(np.float32) * 0.1,
+        "vertex_weights": (rng.rand(4, H, W, 3 * C) > 0.7).astype(np.float32),
+        "meta_data": meta,
+        # replicated blob: must round-trip unsharded
+        "poses": np.ones((8, 13), np.float32),
+    }
+    batch = global_batch_from_local(
+        mesh, local_batch,
+        batch_keys=("data", "gt_label_2d", "vertex_targets", "vertex_weights", "meta_data"),
+    )
+    assert batch["poses"].shape == (8, 13), batch["poses"].shape
+    assert batch["data"].shape == (8, H, W, 3), batch["data"].shape
+
+    rng2 = np.random.RandomState(0)
+    points = jnp.asarray(rng2.randn(C, 32, 3).astype(np.float32) * 0.05)
+    symmetry = jnp.zeros(C)
+    extents = jnp.asarray(0.1 + 0.1 * rng2.rand(C, 3).astype(np.float32))
+    state = create_train_state(cfg, hp, jax.random.PRNGKey(0))
+    step_fn = make_train_step(cfg, hp, mesh, points, symmetry, extents, donate=False)
+    losses = []
+    for i in range(2):
+        state, metrics = step_fn(state, batch, jax.random.PRNGKey(i))
+        loss = float(metrics["loss"])
+        assert np.isfinite(loss), metrics
+        losses.append(loss)
+    print(f"proc {pid} ok total={total} losses={losses}")
     """
 )
 
