@@ -84,7 +84,13 @@ class TrainConfig:
     SYMSIZE: int = 0
 
     GRID_SIZE: int = 256
-    SCALES_BASE: Tuple[float, ...] = (0.25, 0.5, 1.0, 2.0, 3.0)
+    # input rescale (reference default lists 5 scales and samples one per
+    # minibatch, config.py:109 / minibatch.py:29 — but every shipped
+    # reference config pins [1.0]). The TPU build uses SCALES_BASE[0] as a
+    # single pinned scale: per-iteration random image sizes would break
+    # jit's static shapes and retrigger compilation, so the multi-scale
+    # sampling that no reference experiment uses is deliberately not kept.
+    SCALES_BASE: Tuple[float, ...] = (1.0,)
 
     # data augmentation
     CHROMATIC: bool = True

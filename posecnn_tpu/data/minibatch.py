@@ -196,6 +196,28 @@ def flip_poses(poses: np.ndarray, K: np.ndarray, width: int) -> np.ndarray:
     return out
 
 
+def scale_frame(fr: Frame, s: float) -> Frame:
+    """TRAIN/TEST.SCALES_BASE input rescale (reference _get_image_blob,
+    minibatch.py:180-183): color bilinear, label/mask/vertmap nearest, depth
+    nearest, centers multiplied by the scale. K is handled by
+    build_meta_data(im_scale); 3D poses are resolution-independent."""
+    from dataclasses import replace
+
+    def rs(a, interp):
+        return cv2.resize(a, None, None, fx=s, fy=s, interpolation=interp)
+
+    label = rs(fr.label.astype(np.int32), cv2.INTER_NEAREST)
+    return replace(
+        fr,
+        color=rs(fr.color, cv2.INTER_LINEAR),
+        label=label,
+        depth=rs(fr.depth, cv2.INTER_NEAREST) if fr.depth is not None else None,
+        mask=rs(fr.mask, cv2.INTER_NEAREST) if fr.mask is not None else None,
+        vertmap=rs(fr.vertmap, cv2.INTER_NEAREST) if fr.vertmap is not None else None,
+        center=fr.center * s,
+    )
+
+
 def flip_frame(fr: Frame) -> Frame:
     """Apply horizontal-flip augmentation to a frame (image/label/depth/mask/
     vertmap mirrored, centers x -> width - x, poses via `flip_poses`;
@@ -340,6 +362,12 @@ def get_minibatch(
     for i, fr in enumerate(frames):
         if fr.flipped:
             fr = flip_frame(fr)
+        if mcfg.scale != 1.0:
+            # TRAIN.SCALES_BASE input rescale (reference _get_image_blob,
+            # minibatch.py:180-183): image/label/depth resized, projected
+            # centers scaled; K is scaled inside build_meta_data and the 3D
+            # pose annotations are resolution-independent
+            fr = scale_frame(fr, mcfg.scale)
         im = pad_im(fr.color, 16)
         label = pad_im(fr.label.astype(np.int32), 16)
         if fr.is_synthetic and backgrounds:

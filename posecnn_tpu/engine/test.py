@@ -503,9 +503,40 @@ def test_net_video(
 # --------------------------------------------------------------- detection path
 
 
+def gt_boxes_from_poses(frame, extents) -> np.ndarray:
+    """Dataset GT boxes (M,5) [cls, x1, y1, x2, y2] by projecting each GT
+    object's 3D extent box through its pose — the reference detection eval
+    consumes roidb GT boxes (lib/fcn/test.py:1472-1638), which YCB builds
+    from exactly this projection; label-pixel extents under-estimate
+    occluded objects."""
+    from posecnn_tpu.engine.visualize import project_box_corners
+    from posecnn_tpu.utils.quaternion_np import mat2quat
+
+    H, W = frame.label.shape[:2]
+    K = np.asarray(frame.intrinsic_matrix, np.float64)
+    rows = []
+    for j, c in enumerate(np.asarray(frame.cls_indexes).astype(int)):
+        R, t = frame.poses[:, :3, j], frame.poses[:, 3, j]
+        if t[2] <= 0:
+            continue
+        uv = project_box_corners(np.asarray(extents)[c], mat2quat(R), t, K)
+        x1, y1 = uv.min(axis=0)
+        x2, y2 = uv.max(axis=0)
+        x1, x2 = np.clip([x1, x2], 0, W - 1)
+        y1, y2 = np.clip([y1, y2], 0, H - 1)
+        if x2 > x1 and y2 > y1:
+            rows.append([c, x1, y1, x2, y2])
+    return np.asarray(rows, np.float32).reshape(-1, 5)
+
+
 class DetectionEvaluator:
-    """VOC-style AP@0.5 over label-derived GT boxes (the detection variant's
-    evaluation; reference test_net_detection, lib/fcn/test.py:1472-1638)."""
+    """VOC-style AP@0.5 over dataset GT boxes (the detection variant's
+    evaluation; reference test_net_detection, lib/fcn/test.py:1472-1638).
+
+    GT boxes come from the dataset (pass `gt_boxes` rows [cls,x1,y1,x2,y2],
+    e.g. `gt_boxes_from_poses`); the label-pixel-extent fallback is kept for
+    datasets without pose annotations. Multi-instance: detections match
+    greedily (by score) against unused GT instances of their class."""
 
     def __init__(self, classes):
         self.classes = list(classes)
@@ -515,18 +546,36 @@ class DetectionEvaluator:
 
     @staticmethod
     def _gt_boxes_from_label(label, num_classes):
-        boxes = {}
+        rows = []
         for c in range(1, num_classes):
             ys, xs = np.nonzero(label == c)
             if len(xs) > 10:
-                boxes[c] = np.array([xs.min(), ys.min(), xs.max(), ys.max()], np.float32)
-        return boxes
+                rows.append([c, xs.min(), ys.min(), xs.max(), ys.max()])
+        return np.asarray(rows, np.float32).reshape(-1, 5)
 
-    def add_frame(self, detections, gt_label):
-        """detections: (N, 10) rows [cls, x1, y1, x2, y2, score, quat4]."""
-        gt = self._gt_boxes_from_label(gt_label, len(self.classes))
-        for c, b in gt.items():
-            self.n_gt[c] += 1
+    @staticmethod
+    def _iou(bb, gb):
+        ix = max(0.0, min(bb[2], gb[2]) - max(bb[0], gb[0]) + 1)
+        iy = max(0.0, min(bb[3], gb[3]) - max(bb[1], gb[1]) + 1)
+        inter = ix * iy
+        union = (
+            (bb[2] - bb[0] + 1) * (bb[3] - bb[1] + 1)
+            + (gb[2] - gb[0] + 1) * (gb[3] - gb[1] + 1)
+            - inter
+        )
+        return inter / max(union, 1e-9)
+
+    def add_frame(self, detections, gt_label=None, gt_boxes=None):
+        """detections: (N, 10) rows [cls, x1, y1, x2, y2, score, quat4];
+        gt_boxes: (M, 5) rows [cls, x1, y1, x2, y2] from the dataset."""
+        if gt_boxes is None:
+            assert gt_label is not None, "need gt_boxes or gt_label"
+            gt_boxes = self._gt_boxes_from_label(gt_label, len(self.classes))
+        gt_boxes = np.asarray(gt_boxes, np.float32).reshape(-1, 5)
+        for row in gt_boxes:
+            c = int(row[0])
+            if c in self.n_gt:
+                self.n_gt[c] += 1
         used = set()
         order = np.argsort(-detections[:, 5]) if len(detections) else []
         for i in order:
@@ -534,19 +583,17 @@ class DetectionEvaluator:
             if c not in self.records:
                 continue
             matched = False
-            if c in gt and c not in used:
-                bb, gb = detections[i, 1:5], gt[c]
-                ix = max(0, min(bb[2], gb[2]) - max(bb[0], gb[0]) + 1)
-                iy = max(0, min(bb[3], gb[3]) - max(bb[1], gb[1]) + 1)
-                inter = ix * iy
-                union = (
-                    (bb[2] - bb[0] + 1) * (bb[3] - bb[1] + 1)
-                    + (gb[2] - gb[0] + 1) * (gb[3] - gb[1] + 1)
-                    - inter
-                )
-                if inter / max(union, 1e-9) >= 0.5:
-                    matched = True
-                    used.add(c)
+            bb = detections[i, 1:5]
+            best, best_j = 0.5, -1  # VOC IoU threshold
+            for j, row in enumerate(gt_boxes):
+                if int(row[0]) != c or j in used:
+                    continue
+                iou = self._iou(bb, row[1:5])
+                if iou >= best:
+                    best, best_j = iou, j
+            if best_j >= 0:
+                matched = True
+                used.add(best_j)
             self.records[c].append((float(detections[i, 5]), matched))
 
     def summary(self):
@@ -656,7 +703,12 @@ def test_net_detection(
         )
         results.append(dets)
         if evaluator is not None:
-            evaluator.add_frame(dets, frame.label)
+            gt_boxes = None
+            if getattr(frame, "poses", None) is not None and frame.poses.shape[-1]:
+                ext = getattr(dataset, "_extents", None)
+                if ext is not None:
+                    gt_boxes = gt_boxes_from_poses(frame, ext)
+            evaluator.add_frame(dets, gt_label=frame.label, gt_boxes=gt_boxes)
         if log and (i + 1) % 50 == 0:
             log(f"frame {i + 1}/{n}: {len(dets)} detections")
     if evaluator is not None and log:

@@ -180,3 +180,55 @@ def test_det_train_step_loss_decreases():
         for k, v in m.items():
             assert np.isfinite(float(v)), (k, float(v))
     assert losses[-1] < losses[0], losses
+
+
+def test_detection_evaluator_dataset_gt_boxes():
+    """Hand-built dataset GT boxes (round-2 verdict task 7): multi-instance
+    matching against explicit [cls,x1,y1,x2,y2] rows, not label extents."""
+    import numpy as np
+
+    from posecnn_tpu.engine.test import DetectionEvaluator
+
+    ev = DetectionEvaluator(["bg", "a", "b"])
+    gt = np.array([
+        [1, 10, 10, 20, 20],
+        [1, 40, 40, 52, 50],  # second instance of class 1
+        [2, 5, 25, 15, 35],
+    ], np.float32)
+    dets = np.array([
+        [1, 10, 10, 20, 20, 0.9, 1, 0, 0, 0],   # exact match inst 1
+        [1, 41, 40, 52, 50, 0.8, 1, 0, 0, 0],   # matches inst 2
+        [1, 41, 40, 52, 50, 0.7, 1, 0, 0, 0],   # duplicate -> FP (inst used)
+        [2, 100, 100, 110, 110, 0.6, 1, 0, 0, 0],  # wrong place -> FP
+    ], np.float32)
+    ev.add_frame(dets, gt_boxes=gt)
+    s = ev.summary()
+    assert s["ap_per_class"]["a"] > 0.99          # both instances recalled
+    assert s["ap_per_class"]["b"] == 0.0          # missed
+    # a second frame with no gt_boxes falls back to label extents
+    label = np.zeros((32, 32), np.int32)
+    label[4:12, 6:18] = 2
+    ev.add_frame(np.array([[2, 6, 4, 17, 11, 0.9, 1, 0, 0, 0]], np.float32), gt_label=label)
+    assert ev.summary()["ap_per_class"]["b"] > 0.0
+
+
+def test_gt_boxes_from_poses_projection():
+    """Projected extent boxes must cover the rendered label pixels."""
+    import numpy as np
+
+    from posecnn_tpu.data.factory import get_imdb
+    from posecnn_tpu.engine.test import gt_boxes_from_poses
+
+    imdb = get_imdb("toy_val")
+    frame = imdb.load_frame(0)
+    rows = gt_boxes_from_poses(frame, imdb._extents)
+    assert rows.shape[1] == 5 and len(rows) == len(frame.cls_indexes)
+    for row in rows:
+        c = int(row[0])
+        ys, xs = np.nonzero(frame.label == c)
+        if len(xs) < 10:
+            continue
+        # the projected 3D box bounds the visible pixels (small slack for
+        # rasterization rounding)
+        assert row[1] <= xs.min() + 2 and row[3] >= xs.max() - 2
+        assert row[2] <= ys.min() + 2 and row[4] >= ys.max() - 2

@@ -144,6 +144,10 @@ def main():
     mcfg = MinibatchConfig(
         num_classes=imdb.num_classes,
         pixel_means=cfg.pixel_means(),
+        # TRAIN.SCALES_BASE input rescale (reference samples uniformly over
+        # the tuple per frame via _get_image_blob; every shipped reference
+        # config pins a single scale, so the first entry is used)
+        scale=float(cfg.TRAIN.SCALES_BASE[0]),
         chromatic=cfg.TRAIN.CHROMATIC,
         add_noise=cfg.TRAIN.ADD_NOISE,
         vertex_reg=model_cfg.vertex_reg,
