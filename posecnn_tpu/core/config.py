@@ -222,6 +222,10 @@ class TPUConfig:
     DEBUG_DISABLE_JIT: bool = False
     # ICP refinement iterations (JAX Gauss-Newton; replaces synthesize.cpp solveICP)
     ICP_ITERS: int = 20
+    # point-to-plane energy weight in the ICP refiner (0 = point-to-point
+    # only). First-order equivalent of the reference solveICP SDF term
+    # (synthesize.cpp:2052-2200); see engine/refine.icp_refine
+    ICP_PLANE_WEIGHT: float = 0.0
     DONATE_BATCH: bool = True
 
 

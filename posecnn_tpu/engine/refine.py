@@ -96,10 +96,18 @@ def icp_refine(
     huber_delta: float = 0.01,
     damping: float = 1e-6,
     model_valid: Optional[jnp.ndarray] = None,
+    target_normals: Optional[jnp.ndarray] = None,
+    plane_weight: float = 0.0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Refine one 6-DoF pose. quat (4,) wxyz, trans (3,), model_points (P,3),
     target_points (T,3) camera frame. Returns (quat, trans) refined.
-    model_valid (P,) masks padded/invalid source points out of the solve."""
+    model_valid (P,) masks padded/invalid source points out of the solve.
+
+    target_normals (T,3) + plane_weight > 0 add a point-to-plane energy
+    n . (src - tgt) — the first-order equivalent of the reference solveICP's
+    rendered-SDF term (synthesize.cpp:2052-2200: the SDF gradient at the
+    surface IS the surface normal), which constrains the pose along the
+    surface where point-to-point matches slide."""
 
     def step(_, state):
         R, t = state
@@ -131,6 +139,17 @@ def icp_refine(
         Wd = w[:, None, None]
         H = jnp.einsum("pij,pik->jk", J * Wd, J)  # (6,6)
         g = jnp.einsum("pij,pi->j", J * Wd, e)
+        if target_normals is not None and plane_weight > 0:
+            n = target_normals[j]  # (P,3) normal at the matched target
+            n_ok = jnp.sum(n * n, axis=-1) > 0.5  # zero normal = invalid pixel
+            r_pl = jnp.sum(n * e, axis=-1)  # (P,) signed plane distance
+            a = jnp.abs(r_pl)
+            w_pl = jnp.where(a <= huber_delta, 1.0, huber_delta / jnp.maximum(a, 1e-12))
+            w_pl = w_pl * w * n_ok.astype(w.dtype)  # share validity gating
+            Jp = jnp.einsum("pi,pij->pj", n, J)  # (P,6)
+            JpW = Jp * (plane_weight * w_pl)[:, None]
+            H = H + jnp.einsum("pj,pk->jk", JpW, Jp)
+            g = g + jnp.einsum("pj,p->j", JpW, r_pl)
         dx = -jnp.linalg.solve(H + damping * jnp.eye(6), g)
         omega, v = dx[:3], dx[3:]
         # exponential map (small-angle Rodrigues)
@@ -172,17 +191,30 @@ def icp_refine_detections(
     meta: jnp.ndarray,
     iters: int = 20,
     max_points: int = 512,
+    plane_weight: float = 0.0,
 ):
     """Vectorized over detections: rois (R,7), poses (R,7) [quat|t],
     depth/label (H,W), points_all (C,P,3), meta (48,).
-    Returns refined poses (R,7)."""
+    Returns refined poses (R,7). plane_weight > 0 adds the point-to-plane
+    energy (normals from the measured depth, computed once per frame)."""
     fx, px, fy, py = meta[0], meta[2], meta[4], meta[5]
+    normal_map = None
+    if plane_weight > 0:
+        from posecnn_tpu.ops.normals import compute_normals
+
+        normal_map = compute_normals(depth, fx, fy, px, py).reshape(-1, 3)
 
     def one(roi, pose):
         cls = roi[1].astype(jnp.int32)
-        tgt, tv = sample_object_cloud(depth, label, cls, fx, fy, px, py, max_points)
+        tgt, tv, idx = sample_object_cloud(
+            depth, label, cls, fx, fy, px, py, max_points, return_index=True
+        )
+        tn = normal_map[idx] if normal_map is not None else None
         t_new = refine_translation(pose[:4], pose[4:7], tgt, tv)
-        q, t = icp_refine(pose[:4], t_new, points_all[cls], tgt, tv, iters=iters)
+        q, t = icp_refine(
+            pose[:4], t_new, points_all[cls], tgt, tv, iters=iters,
+            target_normals=tn, plane_weight=plane_weight,
+        )
         ok = (jnp.sum(tv) > 16) & (roi[1] > 0)
         q = jnp.where(ok, q, pose[:4])
         t = jnp.where(ok, t, pose[4:7])

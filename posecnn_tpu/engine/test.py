@@ -113,13 +113,14 @@ def postprocess_detections(
 MAX_REFINE_DETS = 32  # static row cap for the jitted per-frame ICP call
 
 
-@functools.partial(jax.jit, static_argnames=("iters", "max_points"))
-def _refine_jit(rois, poses, depth_m, label, points_all, meta, iters=20, max_points=512):
+@functools.partial(jax.jit, static_argnames=("iters", "max_points", "plane_weight"))
+def _refine_jit(rois, poses, depth_m, label, points_all, meta, iters=20, max_points=512,
+                plane_weight=0.0):
     from posecnn_tpu.engine.refine import icp_refine_detections
 
     return icp_refine_detections(
         rois, poses, depth_m, label, points_all, meta,
-        iters=iters, max_points=max_points,
+        iters=iters, max_points=max_points, plane_weight=plane_weight,
     )
 
 
@@ -140,7 +141,8 @@ def _refine_translation_jit(rois, poses, depth_m, label, meta, max_points=512):
     return jax.vmap(one)(rois, poses)
 
 
-def refine_poses(rois, poses, depth_m, label, points_all, meta, max_det: int = MAX_REFINE_DETS):
+def refine_poses(rois, poses, depth_m, label, points_all, meta, max_det: int = MAX_REFINE_DETS,
+                 plane_weight: float = 0.0):
     """Host wrapper: pad the post-NMS detections to a static row count, run
     the vmapped Gauss-Newton ICP in one jit call, return (poses_refined,
     poses_icp). poses_refined is the cheap depth-median translation fix (the
@@ -157,6 +159,7 @@ def refine_poses(rois, poses, depth_m, label, points_all, meta, max_det: int = M
         _refine_jit(
             jnp.asarray(rois_p), jnp.asarray(poses_p), jnp.asarray(depth_m),
             jnp.asarray(label), points_all, jnp.asarray(meta),
+            plane_weight=float(plane_weight),
         )
     )[:k]
     # translation-only refinement for the poses_new column (one jit call)
@@ -275,6 +278,7 @@ def test_net(
     visualizer=None,
     reference_nms_bug: bool = False,
     eval_batch: int = 1,
+    icp_plane_weight: float = 0.0,
 ):
     """Per-frame evaluation loop (test.py:1154-1467).
 
@@ -393,7 +397,8 @@ def test_net(
                 depth_m = frame.depth.astype(np.float32) / float(frame.factor_depth)
                 meta_icp = build_meta_data(frame.intrinsic_matrix)  # unscaled K
                 poses_refined, poses_icp = refine_poses(
-                    rois, poses, depth_m, label_pred, points_all, meta_icp
+                    rois, poses, depth_m, label_pred, points_all, meta_icp,
+                    plane_weight=icp_plane_weight,
                 )
             results.append({
                 "rois": rois, "poses": poses,

@@ -73,13 +73,19 @@ def chromatic_transform(
         d_l = (rng.rand(1) - 0.5) * 0.2 * 256
     if d_s is None:
         d_s = (rng.rand(1) - 0.5) * 0.2 * 256
+    if im.dtype != np.uint8:
+        im = np.clip(np.round(im), 0, 255).astype(np.uint8)
     hls = cv2.cvtColor(im, cv2.COLOR_BGR2HLS)
-    h, l, s = cv2.split(hls)
-    new_h = (h + d_h) % 180
-    new_l = np.clip(l + d_l, 0, 255)
-    new_s = np.clip(s + d_s, 0, 255)
-    new_hls = cv2.merge((new_h, new_l, new_s)).astype("uint8")
-    new_im = cv2.cvtColor(new_hls, cv2.COLOR_HLS2BGR)
+    # per-channel 256-entry LUT instead of three float passes over the full
+    # image (the jitter deltas are per-image scalars, so the mapping is a
+    # pure function of the 8-bit channel value); ~10x faster at 640x480 and
+    # the hot host-side cost of the reference training schedule
+    base = np.arange(256, dtype=np.float64)
+    lut = np.empty((1, 256, 3), np.uint8)
+    lut[0, :, 0] = ((base + float(d_h)) % 180).astype(np.uint8)
+    lut[0, :, 1] = np.clip(base + float(d_l), 0, 255).astype(np.uint8)
+    lut[0, :, 2] = np.clip(base + float(d_s), 0, 255).astype(np.uint8)
+    new_im = cv2.cvtColor(cv2.LUT(hls, lut), cv2.COLOR_HLS2BGR)
     if label is not None:
         # keep foreground pixels un-jittered, as the reference does
         I = np.where(label > 0)
@@ -94,10 +100,14 @@ def add_noise(image: np.ndarray, rng: Optional[np.random.RandomState] = None) ->
     if r < 0.9:
         row, col, ch = image.shape
         var = rng.rand(1) * 0.3 * 256
-        sigma = var ** 0.5
-        gauss = sigma * rng.randn(row, col)
-        gauss = np.repeat(gauss[:, :, np.newaxis], ch, axis=2)
-        noisy = np.clip(image + gauss, 0, 255)
+        sigma = float(var ** 0.5)
+        # float32 Generator noise: RandomState.randn is float64-only and the
+        # three float64 passes (randn + repeat + add/clip) dominated the host
+        # pipeline (~120 ms/batch at 640x480); same N(0, sigma) distribution,
+        # broadcast over channels like the reference's repeat
+        gen = np.random.default_rng(int(rng.randint(1 << 31)))
+        gauss = gen.standard_normal((row, col), dtype=np.float32) * np.float32(sigma)
+        noisy = np.clip(image.astype(np.float32) + gauss[:, :, None], 0, 255)
     else:
         sizes = [3, 5, 7, 9, 11, 15]
         size = sizes[int(rng.randint(len(sizes)))]

@@ -25,6 +25,10 @@ def parse_args():
         help="frames per inference call (throughput mode; identical results)",
     )
     parser.add_argument(
+        "--icp_plane_weight", type=float, default=None,
+        help="override TPU.ICP_PLANE_WEIGHT (point-to-plane ICP energy A/B)",
+    )
+    parser.add_argument(
         "--vis", action="store_true",
         help="write prediction overlays (TEST.VISUALIZE) under the output dir",
     )
@@ -187,6 +191,10 @@ def main():
         visualizer=visualizer,
         reference_nms_bug=cfg.TEST.REFERENCE_NMS_BUG,
         eval_batch=args.eval_batch,
+        icp_plane_weight=(
+            args.icp_plane_weight if args.icp_plane_weight is not None
+            else cfg.TPU.ICP_PLANE_WEIGHT
+        ),
     )
     # per-frame detection artifacts for offline analysis — the reference
     # writes one .mat per frame (lov.py:432-439); one consolidated npz here
