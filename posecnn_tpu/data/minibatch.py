@@ -347,6 +347,7 @@ def get_minibatch(
     ims, ims_p, labels, metas, vtargets, vweights, center_rows = [], [], [], [], [], [], []
     vt3, vw3 = [], []
     gan_ims = []
+    noise_sigmas = []
     pose_blob = np.zeros((0, 13), dtype=np.float32)
     want_depth_input = mcfg.input_format in ("DEPTH", "RGBD")
     want_normal_input = mcfg.input_format == "NORMAL"
@@ -379,7 +380,21 @@ def get_minibatch(
         if mcfg.chromatic:
             im = chromatic_transform(im, rng=rng)
         if mcfg.add_noise:
-            im = add_noise(im, rng=rng)
+            if mcfg.device_targets and not mcfg.gan and mcfg.input_format == "COLOR":
+                # device-side gaussian noise: ship only the per-image sigma
+                # and add the (H,W) noise field inside the train step's jit
+                # graph — the host float passes were ~50 ms/batch, the
+                # largest remaining host-pipeline cost. The 10% motion-blur
+                # branch stays host-side (cv2 filter2D on uint8 is cheap).
+                # Same draws/order as add_noise (blob.py): rand gate, then
+                # var = rand*0.3*256.
+                if rng.rand(1) < 0.9:
+                    noise_sigmas.append(float(rng.rand(1) * 0.3 * 256) ** 0.5)
+                else:
+                    im = add_noise(im, rng=rng, force_blur=True)
+                    noise_sigmas.append(0.0)
+            else:
+                im = add_noise(im, rng=rng)
 
         if want_depth_input or want_normal_input:
             # adaptation frames may ship no depth: substitute an all-zero
@@ -463,6 +478,8 @@ def get_minibatch(
         "meta_data": np.stack(metas).astype(np.float32),
         "poses": gt,
     }
+    if noise_sigmas:
+        batch["noise_sigma"] = np.asarray(noise_sigmas, np.float32)
     if ims_p:
         batch["data_p"] = np.stack(ims_p) if mcfg.device_targets else np.stack(ims_p).astype(np.float32)
     if gan_ims:

@@ -139,7 +139,19 @@ def compute_losses(
     means = jnp.asarray(hp.pixel_means, jnp.float32).reshape(1, 1, 1, 3)
     if data.dtype == jnp.uint8:
         # device-side preprocessing: host ships raw uint8 BGR frames
-        data = data.astype(jnp.float32) - means
+        data = data.astype(jnp.float32)
+        if "noise_sigma" in batch:
+            # in-graph gaussian augmentation noise (ADD_NOISE fast path):
+            # per-image sigma from the host RNG stream, one (H,W) field
+            # shared across channels like the reference (blob.py:76-131),
+            # clipped to uint8 range before mean subtraction
+            rng, r_noise = jax.random.split(rng)
+            field = jax.random.normal(r_noise, data.shape[:3], jnp.float32)
+            data = jnp.clip(
+                data + batch["noise_sigma"][:, None, None, None] * field[..., None],
+                0.0, 255.0,
+            )
+        data = data - means
     fwd_kwargs = dict(
         gt_poses=batch.get("poses"),
         gt_label_2d=batch["gt_label_2d"],
@@ -284,7 +296,7 @@ def make_train_step(
         out = {}
         for k, v in batch.items():
             # per-image arrays shard over data; global blobs replicate
-            if k in ("data", "data_p", "gt_label_2d", "vertex_targets", "vertex_weights", "vertex_targets3", "vertex_weights3", "meta_data", "gt_centers"):
+            if k in ("data", "data_p", "gt_label_2d", "vertex_targets", "vertex_weights", "vertex_targets3", "vertex_weights3", "meta_data", "gt_centers", "noise_sigma"):
                 out[k] = bsh
             else:
                 out[k] = repl

@@ -93,10 +93,14 @@ def chromatic_transform(
     return new_im
 
 
-def add_noise(image: np.ndarray, rng: Optional[np.random.RandomState] = None) -> np.ndarray:
-    """90%: gaussian pixel noise; 10%: axis-aligned motion blur."""
+def add_noise(image: np.ndarray, rng: Optional[np.random.RandomState] = None,
+              force_blur: bool = False) -> np.ndarray:
+    """90%: gaussian pixel noise; 10%: axis-aligned motion blur.
+
+    force_blur: skip the coin flip and apply the blur branch (the device-
+    noise fast path draws the gate itself and delegates only blur here)."""
     rng = rng or np.random
-    r = rng.rand(1)
+    r = 1.0 if force_blur else rng.rand(1)
     if r < 0.9:
         row, col, ch = image.shape
         var = rng.rand(1) * 0.3 * 256

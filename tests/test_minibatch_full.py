@@ -361,3 +361,36 @@ def test_scales_base_train_side():
                            jnp.asarray(ext), donate=False)
     _, metrics = step(state, bh, jax.random.PRNGKey(0))
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_device_noise_fast_path():
+    """ADD_NOISE on the device-targets COLOR path ships a per-image sigma
+    instead of adding host-side noise; the train step adds the field
+    in-graph (engine/train.compute_losses)."""
+    import jax
+    import jax.numpy as jnp
+
+    from posecnn_tpu.data.factory import get_imdb
+    from posecnn_tpu.data.minibatch import MinibatchConfig, get_minibatch
+
+    imdb = get_imdb("toy_train")
+    frame = imdb.load_frame(0)
+    ext = np.asarray(imdb._extents)
+    pts = np.asarray(imdb._points_all, np.float32)
+    sym = np.asarray(imdb._symmetry, np.float32)
+    mcfg = MinibatchConfig(num_classes=imdb.num_classes, chromatic=False,
+                           add_noise=True, device_targets=True)
+    rng = np.random.RandomState(0)
+    b = get_minibatch([frame, frame], mcfg, ext, pts, sym, rng=rng)
+    assert "noise_sigma" in b and b["noise_sigma"].shape == (2,)
+    # gaussian-gated frames ship sigma > 0 and an unmodified image;
+    # blur-gated frames ship sigma == 0 (blur applied host-side)
+    clean = np.clip(np.round(frame.color.astype(np.float64)), 0, 255).astype(np.uint8)
+    for i in range(2):
+        if b["noise_sigma"][i] > 0:
+            np.testing.assert_array_equal(b["data"][i, : clean.shape[0], : clean.shape[1]], clean)
+    # host path (device_targets=False) keeps in-image noise, no sigma key
+    mcfg2 = MinibatchConfig(num_classes=imdb.num_classes, chromatic=False,
+                            add_noise=True, device_targets=False)
+    b2 = get_minibatch([frame], mcfg2, ext, pts, sym, rng=np.random.RandomState(0))
+    assert "noise_sigma" not in b2
