@@ -201,6 +201,10 @@ class TPUConfig:
     # GT vertex targets (perfect detections for the quaternion branch) —
     # see PoseCNNConfig.hough_from_gt
     HOUGH_FROM_GT: bool = False
+    # mixed teacher forcing: per-image probability that training-time hough
+    # voting consumes GT labels/centers instead of the predicted heads —
+    # see PoseCNNConfig.hough_gt_mix. 0.0 = reference behavior
+    HOUGH_GT_MIX: float = 0.0
     # include optimizer state in snapshots (False = light params-only
     # checkpoints, 4x less device->host traffic; resume reinits momentum)
     CHECKPOINT_OPT_STATE: bool = True

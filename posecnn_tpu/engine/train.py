@@ -157,7 +157,9 @@ def compute_losses(
         gt_label_2d=batch["gt_label_2d"],
         rng=rng,
     )
-    if getattr(model_cfg, "hough_from_gt", False):
+    if getattr(model_cfg, "hough_from_gt", False) or (
+        getattr(model_cfg, "hough_gt_mix", 0.0) > 0.0
+    ):
         fwd_kwargs["gt_centers"] = batch["gt_centers"]
     if forward is posecnn_forward:
         data_p = batch.get("data_p")

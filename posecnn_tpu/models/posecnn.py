@@ -75,6 +75,18 @@ class PoseCNNConfig:
     # label/vertex head quality (round-2 verdict task 2a). No reference
     # counterpart.
     hough_from_gt: bool = False
+    # mixed teacher forcing for the pose branch (training only): per image,
+    # with this probability the hough inputs are the GT label map + GT vertex
+    # targets instead of the predicted heads. The reference trains its pose
+    # branch on hough boxes from predicted labels, which works there because
+    # ImageNet-init segmentation is usable within ~1K iters; from scratch the
+    # IoU>0.2 target gate zeroes nearly every pose ROI for the first tens of
+    # thousands of iterations and the quaternion head starves (round-2
+    # verdict: median rotation error 127 deg at 20K iters, while the
+    # GT-hough isolation run reaches 2.7 deg in 2.5K). Mixing keeps a
+    # clean, full-rate pose gradient from iter 0 while still exposing the
+    # head to predicted-box statistics. 0.0 = reference behavior.
+    hough_gt_mix: float = 0.0
     # use bilinear crop_pool instead of exact roi_pool (faster on TPU)
     use_crop_pool: bool = False
     adapt_lambda: float = 0.01
@@ -213,6 +225,21 @@ def posecnn_forward(
 
         gt_vt, _ = vertex_targets_device(gt_label_2d, gt_centers, C)
         hough_label, hough_vert = gt_label_2d, gt_vt
+    elif train and cfg.hough_gt_mix > 0.0:
+        assert gt_label_2d is not None and gt_centers is not None, (
+            "hough_gt_mix needs gt_label_2d and gt_centers"
+        )
+        from posecnn_tpu.ops.vertex_targets import vertex_targets_device
+
+        gt_vt, _ = vertex_targets_device(gt_label_2d, gt_centers, C)
+        r_mix = jax.random.fold_in(rng, 0x6D69)  # leave the dropout stream intact
+        pick_gt = jax.random.bernoulli(
+            r_mix, cfg.hough_gt_mix, (gt_label_2d.shape[0],)
+        )
+        hough_label = jnp.where(pick_gt[:, None, None], gt_label_2d, label_2d)
+        hough_vert = jnp.where(
+            pick_gt[:, None, None, None], gt_vt, vertex_pred.astype(jnp.float32)
+        )
     if cfg.vote_threshold > 0:
         # multi-instance local-max mode (VOTING_THRESHOLD > 0 configs)
         from posecnn_tpu.ops.hough_voting import hough_voting_multi

@@ -61,6 +61,93 @@ def test_train_step_runs_and_loss_decreases():
     assert int(state[2]) == 4
 
 
+def _blob_scene(B=2, G=2):
+    """Per-image class blobs with consistent GT labels/centers/poses, so the
+    IoU>0.2 target gate actually matches when hough runs on GT inputs."""
+    label = np.zeros((B, H, W), np.int32)
+    centers = np.zeros((B, G, 4), np.float32)  # rows [cls, cx, cy, z]
+    poses = np.zeros((B * G, 13), np.float32)
+    yy, xx = np.mgrid[0:H, 0:W]
+    for b in range(B):
+        cx, cy, z, cls = 14.0 + 2 * b, 15.0, 1.0, 1 + b % (C - 1)
+        label[b][(xx - cx) ** 2 + (yy - cy) ** 2 < 64] = cls
+        centers[b, 0] = [cls, cx, cy, z]
+        poses[b * G, 0] = b
+        poses[b * G, 1] = cls
+        poses[b * G, 6:10] = [1, 0, 0, 0]
+        poses[b * G, 10:] = [(cx - W / 2.0) / 60.0 * z, (cy - H / 2.0) / 60.0 * z, z]
+    return label, centers, poses
+
+
+def test_hough_gt_mix_matches_hough_from_gt_at_p1():
+    """hough_gt_mix=1.0 must produce the same hough ROIs/targets as the
+    deterministic hough_from_gt isolation path."""
+    from posecnn_tpu.models.posecnn import init_posecnn_params, posecnn_forward
+
+    rng = np.random.RandomState(1)
+    label, centers, poses = _blob_scene()
+    B = label.shape[0]
+    meta = np.zeros((B, 48), np.float32)
+    meta[:, 0] = meta[:, 4] = 60.0
+    meta[:, 2], meta[:, 5] = W / 2.0, H / 2.0
+    data = jnp.asarray(rng.randn(B, H, W, 3).astype(np.float32))
+    extents = jnp.asarray(np.full((C, 3), 0.25, np.float32))
+    base = _cfg()
+    params = init_posecnn_params(jax.random.PRNGKey(0), base)
+    kw = dict(
+        gt_poses=jnp.asarray(poses),
+        gt_label_2d=jnp.asarray(label),
+        gt_centers=jnp.asarray(centers),
+        rng=jax.random.PRNGKey(7),
+    )
+    from dataclasses import replace
+
+    out_iso = posecnn_forward(
+        params, replace(base, hough_from_gt=True), data, extents, jnp.asarray(meta), **kw
+    )
+    out_mix = posecnn_forward(
+        params, replace(base, hough_gt_mix=1.0), data, extents, jnp.asarray(meta), **kw
+    )
+    np.testing.assert_allclose(np.asarray(out_iso["rois"]), np.asarray(out_mix["rois"]), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(out_iso["poses_target"]), np.asarray(out_mix["poses_target"]), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_iso["poses_weight"]), np.asarray(out_mix["poses_weight"]), rtol=1e-6
+    )
+    # GT-driven hough must yield matched pose targets (nonzero weights)
+    assert np.asarray(out_mix["poses_weight"]).sum() > 0
+
+
+def test_train_step_hough_gt_mix_runs():
+    """Full train step with mixed teacher forcing: compiles, runs, finite."""
+    rng = np.random.RandomState(0)
+    from dataclasses import replace
+
+    cfg = replace(_cfg(), hough_gt_mix=0.5)
+    hp = TrainHParams(stepsize=1000, learning_rate=0.01, vertex_w=1.0)
+    mesh = make_mesh(MeshSpec(data=8, model=1))
+    points = jnp.asarray(rng.randn(C, 32, 3).astype(np.float32) * 0.05)
+    label, centers, poses = _blob_scene(B=B)
+    meta = np.zeros((B, 48), np.float32)
+    meta[:, 0] = meta[:, 4] = 60.0
+    meta[:, 2], meta[:, 5] = W / 2.0, H / 2.0
+    batch = {
+        "data": jnp.asarray(rng.randn(B, H, W, 3).astype(np.float32)),
+        "gt_label_2d": jnp.asarray(label),
+        "gt_centers": jnp.asarray(centers),
+        "vertex_targets": jnp.asarray(rng.randn(B, H, W, 3 * C).astype(np.float32) * 0.1),
+        "vertex_weights": jnp.asarray((rng.rand(B, H, W, 3 * C) > 0.7).astype(np.float32)),
+        "meta_data": jnp.asarray(meta),
+        "poses": jnp.asarray(poses),
+    }
+    state = create_train_state(cfg, hp, jax.random.PRNGKey(0))
+    step = make_train_step(cfg, hp, mesh, points, jnp.zeros(C), jnp.asarray(np.full((C, 3), 0.25, np.float32)), donate=False)
+    state, metrics = step(state, batch, jax.random.PRNGKey(3))
+    assert np.isfinite(float(metrics["loss"]))
+    assert np.isfinite(float(metrics.get("loss_pose", metrics["loss"])))
+
+
 def test_roi_pool_batched_matches_generic():
     from posecnn_tpu.ops.roi_pool import roi_pool, roi_pool_batched
 

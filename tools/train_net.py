@@ -126,6 +126,7 @@ def main():
         skip_pixels=cfg.TPU.HOUGH_SKIP_PIXELS,
         use_crop_pool=cfg.TPU.USE_CROP_POOL,
         hough_from_gt=cfg.TPU.HOUGH_FROM_GT,
+        hough_gt_mix=cfg.TPU.HOUGH_GT_MIX,
     )
     hp = TrainHParams(
         learning_rate=cfg.TRAIN.LEARNING_RATE,
