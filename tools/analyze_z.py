@@ -1,92 +1,107 @@
 #!/usr/bin/env python
-"""Log-z regression sanity check (round-2 verdict task 2b).
+"""Isolate the z-channel error of the center-voting translation (round-2
+verdict task 2b).
 
-Compares predicted object depth (hough mean-voted z, poses[:,6]) against GT
-z per detection over an eval run's `detections.npz`, matched greedily by
-class. Prints a compact scatter summary: bias, correlation, and quantile
-errors, plus the same for xy — isolating whether the dominant translation
-error is the z channel (vertex log-z head / hough depth averaging,
-reference hough_voting_gpu_op.cu.cc:296-326) or the 2D center vote.
+Loads an eval run's per-frame `detections.npz` plus the frozen val split,
+matches detections to GT objects by class, and decomposes the translation
+error into xy vs z, reporting the predicted-vs-GT z relationship (robust
+linear fit z_pred ~ a*z_gt + b and Pearson r). A systematic scale/offset in
+the log-z vertex channel or in the hough mean-depth readout
+(reference: lib/gt_synthesize_layer/minibatch.py:543-602 writes
+log(z) targets; hough_voting_gpu_op.cu.cc:296-326 averages voted depth)
+shows up as a != 1 / b != 0 with high r; an under-trained channel shows up
+as low r.
 
 Usage:
-  python tools/analyze_z.py --dets output/<eval_dir>/detections.npz \
-      --imdb lov_syn_val [--out output/<eval_dir>/z_analysis.json]
+  python tools/analyze_z.py --dets output/<run>/detections.npz \
+      [--val data/lov_syn_val_v3] [--out output/<run>/z_analysis.json]
 """
 
+from __future__ import annotations
+
+import _init_paths  # noqa: F401
+
 import argparse
+import glob
 import json
 import os
-import sys
 
 import numpy as np
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+def match_frame(det_poses, det_rois, gt_cls, gt_poses):
+    """Greedy one-to-one class match; yields (cls, pred_T, gt_T) triples."""
+    used = set()
+    for i in range(det_rois.shape[0]):
+        cls = int(det_rois[i, 1])
+        if cls <= 0:
+            continue
+        cands = [j for j in range(len(gt_cls)) if int(gt_cls[j]) == cls and j not in used]
+        if not cands:
+            continue
+        pred_t = det_poses[i, 4:7]
+        j = min(cands, key=lambda j: np.linalg.norm(gt_poses[:, 3, j] - pred_t))
+        used.add(j)
+        yield cls, pred_t, gt_poses[:, 3, j]
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--dets", required=True)
-    ap.add_argument("--imdb", default="lov_syn_val")
+    ap.add_argument("--val", default="data/lov_syn_val_v3")
     ap.add_argument("--out", default=None)
+    ap.add_argument("--poses_key", default="poses", choices=["poses", "poses_refined", "poses_icp"])
     args = ap.parse_args()
 
-    from posecnn_tpu.data.factory import get_imdb
-
-    imdb = get_imdb(args.imdb)
-    d = np.load(args.dets)
-    frames = sorted({k.split("_")[0] for k in d.keys()})
-
-    rows = []  # (cls, z_pred, z_gt, x_pred, x_gt, y_pred, y_gt)
-    for fk in frames:
-        i = int(fk)
-        if i >= imdb.num_images:
+    dets = np.load(args.dets, allow_pickle=True)
+    frames = sorted({k.split("_")[0] for k in dets.files})
+    rows = []
+    for f in frames:
+        gt_path = os.path.join(args.val, f + ".npz")
+        if not os.path.exists(gt_path):
             continue
-        frame = imdb.load_frame(i)
-        rois = d[f"{fk}_rois"]
-        poses = d[f"{fk}_poses"]
-        gt_cls = frame.cls_indexes.astype(int)
-        for r in range(len(rois)):
-            c = int(rois[r, 1])
-            hits = np.where(gt_cls == c)[0]
-            if len(hits) == 0:
-                continue
-            # single-instance scenes: first hit
-            j = hits[0]
-            t_gt = frame.poses[:, 3, j]
-            t_pred = poses[r, 4:7]
-            rows.append((c, t_pred[2], t_gt[2], t_pred[0], t_gt[0], t_pred[1], t_gt[1]))
-
+        gt = np.load(gt_path, allow_pickle=True)
+        for cls, pt, gtt in match_frame(
+            dets[f + "_" + args.poses_key], dets[f + "_rois"], gt["cls_indexes"], gt["poses"]
+        ):
+            rows.append((cls, *pt, *gtt))
     if not rows:
-        print("no matched detections")
-        sys.exit(1)
-    a = np.array(rows)
-    zp, zg = a[:, 1], a[:, 2]
-    xy_err = np.hypot(a[:, 3] - a[:, 4], a[:, 5] - a[:, 6])
-    z_err = zp - zg
-    summary = {
-        "n": int(len(a)),
-        "z_bias": float(np.mean(z_err)),
-        "z_median_abs_err": float(np.median(np.abs(z_err))),
-        "z_p90_abs_err": float(np.percentile(np.abs(z_err), 90)),
-        "z_corr": float(np.corrcoef(zp, zg)[0, 1]),
-        "z_pred_mean": float(zp.mean()),
-        "z_gt_mean": float(zg.mean()),
-        "z_pred_std": float(zp.std()),
-        "z_gt_std": float(zg.std()),
-        "xy_median_err": float(np.median(xy_err)),
-        "slope": float(np.polyfit(zg, zp, 1)[0]),
+        raise SystemExit(f"no matched detections under {args.val}")
+    r = np.asarray(rows, np.float64)
+    cls, pred, gt = r[:, 0], r[:, 1:4], r[:, 4:7]
+    xy_err = np.linalg.norm(pred[:, :2] - gt[:, :2], axis=1)
+    z_err = np.abs(pred[:, 2] - gt[:, 2])
+    # least-squares z_pred = a*z_gt + b and correlation
+    A = np.stack([gt[:, 2], np.ones_like(gt[:, 2])], axis=1)
+    (a, b), *_ = np.linalg.lstsq(A, pred[:, 2], rcond=None)
+    cc = np.corrcoef(gt[:, 2], pred[:, 2])[0, 1]
+    report = {
+        "dets": args.dets,
+        "poses_key": args.poses_key,
+        "n_matched": int(len(rows)),
+        "xy_err_median_m": float(np.median(xy_err)),
+        "z_err_median_m": float(np.median(z_err)),
+        "z_fit_slope": float(a),
+        "z_fit_intercept_m": float(b),
+        "z_pearson_r": float(cc),
+        "z_gt_range_m": [float(gt[:, 2].min()), float(gt[:, 2].max())],
+        "z_pred_range_m": [float(pred[:, 2].min()), float(pred[:, 2].max())],
+        # per-decile mean signed error: reveals range-dependent bias
+        "z_signed_err_by_gt_decile": [
+            float(np.mean((pred[:, 2] - gt[:, 2])[q]))
+            for q in np.array_split(np.argsort(gt[:, 2]), 10)
+        ],
     }
-    print(json.dumps(summary, indent=1))
-    # coarse ASCII scatter: gt z bins vs mean pred z
-    bins = np.linspace(zg.min(), zg.max(), 9)
-    print("\n gt z bin        mean pred z   (n)")
-    for b0, b1 in zip(bins[:-1], bins[1:]):
-        m = (zg >= b0) & (zg < b1)
-        if m.sum():
-            print(f" [{b0:.2f},{b1:.2f})   {zp[m].mean():8.3f}   ({int(m.sum())})")
+    verdict = (
+        "SCALE/OFFSET bug (high correlation, wrong line)"
+        if cc > 0.9 and (abs(a - 1) > 0.1 or abs(b) > 0.05)
+        else "well-calibrated" if cc > 0.9 else "under-trained z channel (low correlation)"
+    )
+    report["verdict"] = verdict
+    print(json.dumps(report, indent=2))
     if args.out:
         with open(args.out, "w") as fh:
-            json.dump(summary, fh, indent=1)
+            json.dump(report, fh, indent=2)
 
 
 if __name__ == "__main__":
