@@ -348,6 +348,7 @@ def get_minibatch(
     vt3, vw3 = [], []
     gan_ims = []
     noise_sigmas = []
+    chroma_rows = []
     pose_blob = np.zeros((0, 13), dtype=np.float32)
     want_depth_input = mcfg.input_format in ("DEPTH", "RGBD")
     want_normal_input = mcfg.input_format == "NORMAL"
@@ -378,7 +379,19 @@ def get_minibatch(
             if bg is not None:
                 im = composite_background(im, label, bg)
         if mcfg.chromatic:
-            im = chromatic_transform(im, rng=rng)
+            if mcfg.device_targets and not mcfg.gan and mcfg.input_format == "COLOR":
+                # device-side chromatic (ops/chromatic.py): ship only the
+                # three per-image HLS deltas — same draws/order as
+                # chromatic_transform (blob.py:69-74) so the host RNG stream
+                # is unchanged; the two color-space passes move into the jit
+                # train step (~30 ms/batch off the single-core host pipeline)
+                chroma_rows.append([
+                    float((rng.rand(1)[0] - 0.5) * 0.02 * 180),
+                    float((rng.rand(1)[0] - 0.5) * 0.2 * 256),
+                    float((rng.rand(1)[0] - 0.5) * 0.2 * 256),
+                ])
+            else:
+                im = chromatic_transform(im, rng=rng)
         if mcfg.add_noise:
             if mcfg.device_targets and not mcfg.gan and mcfg.input_format == "COLOR":
                 # device-side gaussian noise: ship only the per-image sigma
@@ -480,6 +493,8 @@ def get_minibatch(
     }
     if noise_sigmas:
         batch["noise_sigma"] = np.asarray(noise_sigmas, np.float32)
+    if chroma_rows:
+        batch["chroma_dhls"] = np.asarray(chroma_rows, np.float32)
     if ims_p:
         batch["data_p"] = np.stack(ims_p) if mcfg.device_targets else np.stack(ims_p).astype(np.float32)
     if gan_ims:

@@ -140,6 +140,13 @@ def compute_losses(
     if data.dtype == jnp.uint8:
         # device-side preprocessing: host ships raw uint8 BGR frames
         data = data.astype(jnp.float32)
+        if "chroma_dhls" in batch:
+            # in-graph HLS chromatic jitter (CHROMATIC fast path): the host
+            # draws only the per-image deltas; ordering matches the host
+            # pipeline (chromatic before noise, blob.py)
+            from posecnn_tpu.ops.chromatic import chromatic_device
+
+            data = chromatic_device(data, batch["chroma_dhls"])
         if "noise_sigma" in batch:
             # in-graph gaussian augmentation noise (ADD_NOISE fast path):
             # per-image sigma from the host RNG stream, one (H,W) field
@@ -298,7 +305,7 @@ def make_train_step(
         out = {}
         for k, v in batch.items():
             # per-image arrays shard over data; global blobs replicate
-            if k in ("data", "data_p", "gt_label_2d", "vertex_targets", "vertex_weights", "vertex_targets3", "vertex_weights3", "meta_data", "gt_centers", "noise_sigma"):
+            if k in ("data", "data_p", "gt_label_2d", "vertex_targets", "vertex_weights", "vertex_targets3", "vertex_weights3", "meta_data", "gt_centers", "noise_sigma", "chroma_dhls"):
                 out[k] = bsh
             else:
                 out[k] = repl
