@@ -478,6 +478,19 @@ class Solver:
 
         from posecnn_tpu.utils.timer import Timer
 
+        if log is not None:
+            # a SIGTERM that also kills a downstream pipe consumer (e.g.
+            # `timeout trainer | grep`) turns the next print into
+            # BrokenPipeError — which previously aborted the preemption
+            # snapshot itself. Logging must never outrank checkpointing.
+            _raw_log = log
+
+            def log(msg, _raw=_raw_log):  # noqa: F811
+                try:
+                    _raw(msg)
+                except OSError:
+                    pass
+
         stop = {"flag": False}
         old_handlers = {}
         if handle_signals:

@@ -265,3 +265,54 @@ def test_train_step_tensor_parallel_mesh():
         assert np.isfinite(float(metrics["loss"]))
     finally:
         mesh_mod.set_tp_min_size(old_tp)
+
+
+def test_solver_sigterm_snapshot_survives_broken_log(tmp_path):
+    """A SIGTERM whose downstream log pipe is already dead must still write
+    the preemption snapshot (the log wrapper swallows OSError)."""
+    import os
+    import signal
+    import threading
+
+    from posecnn_tpu.engine.train import Solver, TrainHParams, create_train_state
+    from posecnn_tpu.models.posecnn import PoseCNNConfig
+
+    C3 = 3
+    cfg = PoseCNNConfig(
+        num_classes=C3, num_units=8, trunk_scale=0.25, vertex_reg=False,
+        pose_reg=False, is_train=True, compute_dtype=jnp.float32, fc_dim=32,
+    )
+    hp = TrainHParams()
+    rng = np.random.RandomState(0)
+    # single-device mesh: the 8-virtual-device compile takes minutes on a
+    # contended single-core host and the point here is signal handling
+    solver = Solver(
+        cfg, hp, points=np.zeros((C3, 8, 3), np.float32),
+        symmetry=np.zeros(C3, np.float32), extents=0.1 + np.zeros((C3, 3), np.float32),
+        output_dir=str(tmp_path), snapshot_iters=10**9, display=1,
+        mesh=make_mesh(MeshSpec(data=1, model=1)),
+    )
+
+    def broken_log(msg):
+        raise BrokenPipeError(32, "Broken pipe")
+
+    meta = np.zeros((1, 48), np.float32)
+    meta[:, 0] = meta[:, 4] = 60.0
+    meta[:, 2], meta[:, 5] = W / 2.0, H / 2.0
+
+    def batches():
+        while True:
+            yield {
+                "data": jnp.asarray(rng.randn(1, H, W, 3).astype(np.float32)),
+                "gt_label_2d": jnp.zeros((1, H, W), jnp.int32),
+                "meta_data": jnp.asarray(meta),
+                "poses": jnp.zeros((8, 13), jnp.float32),
+            }
+
+    state = create_train_state(cfg, hp, jax.random.PRNGKey(0))
+    # deliver SIGTERM shortly after the loop starts; the loop then hits the
+    # broken log on the display line AND on the "signal received" line
+    threading.Timer(0.5, lambda: os.kill(os.getpid(), signal.SIGTERM)).start()
+    solver.train(batches(), state, max_iters=10**6, log=broken_log)
+    snaps = [f for f in os.listdir(tmp_path) if "iter_" in f]
+    assert snaps, "preemption snapshot missing after SIGTERM with broken log"
