@@ -218,6 +218,15 @@ class TPUConfig:
     # point cap for the ADD/ADD-S loss (reference uses the min point count
     # over classes, lov.py:141-158)
     ADD_NUM_POINTS: int = 1024
+    # stage the whole (frozen) training set into device HBM and sample
+    # batches inside the jit train step (data/device_bank.py) — removes all
+    # per-iteration host work; requires a fixed single-frame COLOR dataset
+    # with 2D vertex regression and no SYNTHESIZE/ADAPT/flip streams
+    DEVICE_BANK: bool = False
+    # quaternion-space auxiliary loss weight for non-symmetric classes
+    # (TrainHParams.quat_w): strong-gradient complement to the ADD loss's
+    # plateau at large rotation errors. 0 = reference behavior
+    QUAT_AUX_W: float = 0.0
     # host prefetch depth (reference: tf.FIFOQueue(25), vgg16_convs.py:45)
     PREFETCH: int = 4
     # debug/sanitizer toggles (the reference had none, SURVEY.md §5): raise

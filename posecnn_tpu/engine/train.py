@@ -79,6 +79,16 @@ class TrainHParams:
     # render-and-compare matching loss weight (reference TRAIN.MATCHING flag;
     # the op existed but no reference network wired it — opt-in here too)
     matching_w: float = 0.0
+    # quaternion-space auxiliary loss weight (no reference counterpart).
+    # The ADD loss's gradient through closest-point distances is nearly
+    # uninformative while the predicted rotation is far from GT (the
+    # isolation trajectory in output/isolate_pose/report.json plateaus at
+    # ~110 deg until loss_pose < 0.1); min(|q-q*|^2, |q+q*|^2) on the
+    # class-sliced unit quaternion has strong gradients everywhere and a
+    # minimum consistent with the ADD optimum. Applied to non-symmetric
+    # classes only (symmetric targets are ambiguous up to the symmetry
+    # group, exactly why ADD-S exists).
+    quat_w: float = 0.0
     # global-norm gradient clipping; 0 = off (reference parity). From-scratch
     # VGG training (no ImageNet init) diverges within ~20 iters without it.
     clip_grad_norm: float = 0.0
@@ -234,6 +244,24 @@ def compute_losses(
             losses["loss_pose"] = loss_pose
             loss = loss + loss_pose
 
+            if hp.quat_w > 0:
+                R_, C4 = out["poses_pred"].shape
+                Cq = C4 // 4
+                qp = out["poses_pred"].reshape(R_, Cq, 4)
+                qt = out["poses_target"].reshape(R_, Cq, 4)
+                wq = out["poses_weight"].reshape(R_, Cq, 4)[..., 0]
+                nonsym = (symmetry[:Cq] <= 0).astype(jnp.float32)[None, :]
+                per_roi = jnp.minimum(
+                    jnp.sum(jnp.square(qp - qt), axis=-1),
+                    jnp.sum(jnp.square(qp + qt), axis=-1),
+                ) * wq * nonsym
+                n_valid = jnp.maximum(
+                    jnp.sum(out["rois_valid"].astype(jnp.float32)), 1.0
+                )
+                loss_quat = hp.quat_w * jnp.sum(per_roi) / n_valid
+                losses["loss_quat"] = loss_quat
+                loss = loss + loss_quat
+
             if hp.matching_w > 0:
                 # render-and-compare matching loss (reference TRAIN.MATCHING /
                 # lib/matching_loss: render predicted vs GT pose, compare) —
@@ -333,6 +361,101 @@ def make_train_step(
     return jitted
 
 
+def _assemble_pose_rows(rows: jnp.ndarray, max_gt: int) -> jnp.ndarray:
+    """(B,G,13) per-frame GT pose rows -> (max_gt,13) batch `poses` blob.
+
+    Fills column 0 with the in-batch image index for real rows, then packs
+    valid rows first (stable sort on validity) and truncates/pads to the
+    static max_gt cap — the same cap the host assembler applies
+    (minibatch.py `gt` blob).
+    """
+    B, G, _ = rows.shape
+    valid = rows[:, :, 1] > 0
+    bidx = jnp.broadcast_to(
+        jnp.arange(B, dtype=rows.dtype)[:, None], (B, G)
+    )
+    rows = rows.at[:, :, 0].set(jnp.where(valid, bidx, 0.0))
+    flat = rows.reshape(B * G, 13)
+    vflat = valid.reshape(B * G)
+    order = jnp.argsort(~vflat, stable=True)
+    flat = flat[order]
+    if B * G >= max_gt:
+        return flat[:max_gt]
+    return jnp.zeros((max_gt, 13), flat.dtype).at[: B * G].set(flat)
+
+
+def make_bank_train_step(
+    model_cfg: PoseCNNConfig,
+    hp: TrainHParams,
+    points: jnp.ndarray,
+    symmetry: jnp.ndarray,
+    extents: jnp.ndarray,
+    batch_size: int,
+    max_gt: int = 24,
+    chromatic: bool = False,
+    add_noise: bool = False,
+    donate: bool = True,
+    points_raw: Optional[jnp.ndarray] = None,
+) -> Callable:
+    """Train step over a device-resident data bank (data/device_bank.py).
+
+    Signature matches make_train_step's (state, batch, rng) contract with
+    the bank dict standing in for the per-iteration batch, so the Solver
+    drives it with `itertools.repeat(bank)` and zero host work per step:
+    frame sampling, batch assembly, and augmentation-parameter draws all
+    run inside the jit graph.
+
+    Augmentation parity with the host pipeline (same distributions, a
+    different RNG stream): chromatic -> per-image HLS deltas
+    U(-.5,.5)*(0.02*180, 0.2*256, 0.2*256) [blob.py:69-74]; noise -> 90%
+    gate with sigma = sqrt(U(0,1)*0.3*256) [blob.py add_noise]. The 10%
+    motion-blur arm is host-only cv2 and is approximated as sigma=0 here.
+
+    Single-device by design: the flagship accuracy runs train one chip;
+    multi-chip sharding keeps using make_train_step's host-fed path.
+    """
+    tx = make_optimizer(hp)
+    sched = lr_schedule(hp)
+
+    def step_fn(state, bank, rng):
+        params, opt_state, step = state
+        r_idx, r_chroma, r_gate, r_sigma, r_loss = jax.random.split(rng, 5)
+        N = bank["data"].shape[0]
+        idx = jax.random.randint(r_idx, (batch_size,), 0, N)
+        batch = {
+            "data": jnp.take(bank["data"], idx, axis=0),
+            "gt_label_2d": jnp.take(bank["label"], idx, axis=0).astype(
+                jnp.int32
+            ),
+            "meta_data": jnp.take(bank["meta_data"], idx, axis=0),
+            "gt_centers": jnp.take(bank["gt_centers"], idx, axis=0),
+            "poses": _assemble_pose_rows(
+                jnp.take(bank["pose_rows"], idx, axis=0), max_gt
+            ),
+        }
+        if chromatic:
+            u = jax.random.uniform(r_chroma, (batch_size, 3)) - 0.5
+            batch["chroma_dhls"] = u * jnp.asarray(
+                [0.02 * 180.0, 0.2 * 256.0, 0.2 * 256.0], jnp.float32
+            )
+        if add_noise:
+            gate = jax.random.uniform(r_gate, (batch_size,)) < 0.9
+            sigma = jnp.sqrt(
+                jax.random.uniform(r_sigma, (batch_size,)) * 0.3 * 256.0
+            )
+            batch["noise_sigma"] = jnp.where(gate, sigma, 0.0)
+        (loss, losses), grads = jax.value_and_grad(
+            compute_losses, has_aux=True
+        )(params, model_cfg, hp, batch, points, symmetry, extents, r_loss,
+          None, None, points_raw)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        losses["lr"] = sched(step)
+        return (params, opt_state, step + 1), losses
+
+    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+
 def make_seg_train_step(apply_fn: Callable, hp: TrainHParams, num_classes: int):
     """Train step for the segmentation-only variants (RESNET50 / FCN8VGG).
 
@@ -415,6 +538,7 @@ class Solver:
         snapshot_format: str = "npz",
         points_raw=None,
         vis_hook=None,
+        step_fn=None,
     ):
         self.model_cfg = model_cfg
         self.hp = hp
@@ -432,7 +556,10 @@ class Solver:
         # assembled minibatch (engine.visualize.MinibatchVisualizer)
         self.vis_hook = vis_hook
         self.rng = jax.random.PRNGKey(seed)
-        self.step_fn = make_train_step(
+        # step_fn override: device-bank training (make_bank_train_step)
+        # keeps the same (state, batch, rng) contract with the bank dict
+        # standing in for the batch
+        self.step_fn = step_fn or make_train_step(
             model_cfg, hp, self.mesh, self.points, self.symmetry, self.extents,
             forward_fn=forward_fn, ce_threshold=ce_threshold,
             points_raw=None if points_raw is None else jnp.asarray(points_raw),

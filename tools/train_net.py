@@ -141,6 +141,7 @@ def main():
         margin=cfg.TRAIN.POSE_MARGIN,
         pose_norm_valid=cfg.TRAIN.POSE_NORM_VALID,
         matching_w=1.0 if cfg.TRAIN.MATCHING else 0.0,
+        quat_w=cfg.TPU.QUAT_AUX_W,
     )
     mcfg = MinibatchConfig(
         num_classes=imdb.num_classes,
@@ -305,7 +306,39 @@ def main():
         params, opt_state, step = state
         state = (load_tf1_checkpoint(args.pretrained_ckpt, params, log=print), opt_state, step)
 
-    data_iter = prefetch(iter(layer), depth=cfg.TPU.PREFETCH)
+    if cfg.TPU.DEVICE_BANK:
+        # device-resident dataset: stage every frame into HBM once and let
+        # the jit step sample/assemble/augment on device (zero host work
+        # per iteration — the single-core host pipeline otherwise caps the
+        # step rate ~7x below the device step time)
+        import itertools
+
+        from posecnn_tpu.data.device_bank import bank_nbytes, build_bank
+        from posecnn_tpu.engine.train import make_bank_train_step
+
+        assert not (cfg.TRAIN.SYNTHESIZE or cfg.TRAIN.ADAPT or
+                    cfg.TRAIN.USE_FLIPPED or cfg.TRAIN.VERTEX_REG_3D or
+                    forward_fn is not None), \
+            "TPU.DEVICE_BANK supports the fixed single-frame COLOR flagship path"
+        bank_np = build_bank(imdb, mcfg, log=print)
+        print(f"device bank: {bank_np['data'].shape[0]} frames, "
+              f"{bank_nbytes(bank_np) / 1e9:.2f} GB -> HBM")
+        bank = jax.device_put(bank_np)
+        del bank_np
+        solver.step_fn = make_bank_train_step(
+            model_cfg, hp,
+            solver.points, solver.symmetry, solver.extents,
+            batch_size=cfg.TRAIN.IMS_PER_BATCH,
+            max_gt=cfg.TPU.MAX_GT,
+            chromatic=cfg.TRAIN.CHROMATIC,
+            add_noise=cfg.TRAIN.ADD_NOISE,
+            points_raw=(jax.numpy.asarray(layer.dataset._points_all,
+                                          jax.numpy.float32)
+                        if cfg.TRAIN.MATCHING else None),
+        )
+        data_iter = itertools.repeat(bank)
+    else:
+        data_iter = prefetch(iter(layer), depth=cfg.TPU.PREFETCH)
     start_iter = 0
     if args.resume:
         state, start_iter = solver.resume(state)
