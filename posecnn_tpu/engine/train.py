@@ -605,6 +605,13 @@ class Solver:
 
         from posecnn_tpu.utils.timer import Timer
 
+        if start_iter:
+            # with DEVICE_BANK all sampling/augmentation randomness derives
+            # from this stream; without folding in the resume point every
+            # supervisor kill+resume would replay the iteration-0 sample
+            # sequence (stall-prone runs would retrain the same early frames)
+            self.rng = jax.random.fold_in(self.rng, start_iter)
+
         if log is not None:
             # a SIGTERM that also kills a downstream pipe consumer (e.g.
             # `timeout trainer | grep`) turns the next print into

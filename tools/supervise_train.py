@@ -45,7 +45,31 @@ def latest_row(csv_path):
         return None, st.st_mtime
 
 
-def run_dir_for(cfg_file, imdb_name, output_override):
+def latest_ckpt_iter(out_dir):
+    """Highest iteration among `*_iter_N.npz` snapshots in the run dir.
+
+    The metrics CSV only gains a row every TRAIN.DISPLAY iterations, so a
+    run whose --iters is not a DISPLAY multiple finishes with a final CSV
+    row short of --iters; the final checkpoint is the authoritative
+    completion marker.
+    """
+    best = None
+    try:
+        names = os.listdir(out_dir)
+    except OSError:
+        return None
+    for name in names:
+        if not name.endswith(".npz") or "_iter_" not in name:
+            continue
+        try:
+            it = int(name.rsplit("_iter_", 1)[1].split(".")[0])
+        except ValueError:
+            continue
+        best = it if best is None else max(best, it)
+    return best
+
+
+def run_dir_for(cfg_file, imdb_name, network, output_override):
     if output_override:
         return output_override
     from posecnn_tpu.core.config import cfg_from_file, get_output_dir
@@ -55,7 +79,7 @@ def run_dir_for(cfg_file, imdb_name, output_override):
         cfg_from_file(cfg_file)
     imdb = get_imdb(imdb_name)
     # same (imdb, network) layout as tools/train_net.py:162
-    return get_output_dir(imdb.name, "vgg16_convs")
+    return get_output_dir(imdb.name, network)
 
 
 def main():
@@ -63,6 +87,8 @@ def main():
     ap.add_argument("--cfg", required=True)
     ap.add_argument("--imdb", required=True)
     ap.add_argument("--iters", type=int, required=True)
+    ap.add_argument("--network", default="vgg16_convs",
+                    help="network name (must match the child's run dir)")
     ap.add_argument("--output", default=None)
     ap.add_argument("--stall-sec", type=float, default=120.0)
     ap.add_argument("--warmup-sec", type=float, default=900.0,
@@ -73,20 +99,21 @@ def main():
     ap.add_argument("--log", default=None, help="child stdout/stderr file")
     args, passthrough = ap.parse_known_args()
 
-    out_dir = run_dir_for(args.cfg, args.imdb, args.output)
+    out_dir = run_dir_for(args.cfg, args.imdb, args.network, args.output)
     csv_path = os.path.join(out_dir, "train_metrics.csv")
     print(f"[supervisor] run dir: {out_dir}", flush=True)
 
     base_cmd = [
         sys.executable, os.path.join(os.path.dirname(__file__), "train_net.py"),
         "--cfg", args.cfg, "--imdb", args.imdb, "--iters", str(args.iters),
-        "--resume",
+        "--network", args.network, "--resume",
     ] + passthrough
     if args.output:
         base_cmd += ["--output", args.output]
 
     logf = open(args.log, "ab", buffering=0) if args.log else None
     restarts = 0
+    clean_exits_no_progress = 0
     while True:
         it0, _ = latest_row(csv_path)
         print(f"[supervisor] launch (restart {restarts}, resume from "
@@ -136,9 +163,28 @@ def main():
         else:
             rc = child.returncode
             it, _ = latest_row(csv_path)
-            if rc == 0 and it is not None and it >= args.iters:
-                print(f"[supervisor] complete at iter={it}", flush=True)
-                return 0
+            if rc == 0:
+                # CSV rows land every TRAIN.DISPLAY iters, so the final row
+                # can be short of --iters; the final checkpoint (or two
+                # consecutive clean exits without CSV progress — the child
+                # itself refuses to train past max_iters) settles it
+                ckpt_it = latest_ckpt_iter(out_dir)
+                if (it is not None and it >= args.iters) or \
+                        (ckpt_it is not None and ckpt_it >= args.iters):
+                    print(f"[supervisor] complete at iter={it} "
+                          f"(ckpt={ckpt_it})", flush=True)
+                    return 0
+                if not progressed:
+                    clean_exits_no_progress += 1
+                    if clean_exits_no_progress >= 2:
+                        print(f"[supervisor] two clean exits without CSV "
+                              f"progress (iter={it}, ckpt={ckpt_it}): "
+                              f"treating run as complete", flush=True)
+                        return 0
+                else:
+                    clean_exits_no_progress = 0
+            else:
+                clean_exits_no_progress = 0
             print(f"[supervisor] child exited rc={rc} at iter={it}", flush=True)
         restarts += 1
         if restarts > args.max_restarts:

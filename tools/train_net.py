@@ -316,9 +316,14 @@ def main():
         from posecnn_tpu.data.device_bank import bank_nbytes, build_bank
         from posecnn_tpu.engine.train import make_bank_train_step
 
+        # the bank stores raw unscaled COLOR frames and builds meta_data at
+        # scale 1.0, so INPUT modes needing depth/normal blobs or non-unit
+        # SCALES_BASE would silently train on the wrong input via this path
         assert not (cfg.TRAIN.SYNTHESIZE or cfg.TRAIN.ADAPT or
                     cfg.TRAIN.USE_FLIPPED or cfg.TRAIN.VERTEX_REG_3D or
-                    forward_fn is not None), \
+                    forward_fn is not None) and cfg.INPUT == "COLOR" and \
+            float(cfg.TRAIN.SCALES_BASE[0]) == 1.0 and \
+            len(cfg.TRAIN.SCALES_BASE) == 1, \
             "TPU.DEVICE_BANK supports the fixed single-frame COLOR flagship path"
         bank_np = build_bank(imdb, mcfg, log=print)
         print(f"device bank: {bank_np['data'].shape[0]} frames, "
