@@ -223,6 +223,17 @@ class TPUConfig:
     # per-iteration host work; requires a fixed single-frame COLOR dataset
     # with 2D vertex regression and no SYNTHESIZE/ADAPT/flip streams
     DEVICE_BANK: bool = False
+    # continuous bank refresh (data/bank_refresh.py): a background host
+    # thread renders fresh synthetic scenes and splices them into the HBM
+    # bank during training — restores the reference's never-reuse-a-frame
+    # property (its render thread streams fresh scenes per iteration,
+    # tools/train_net.py:155-258) that a frozen bank gives up
+    BANK_REFRESH: bool = False
+    # frames per refresh chunk (one H2D splice + HBM copy per chunk)
+    BANK_REFRESH_CHUNK: int = 64
+    # seconds of sleep between renders: caps the refresher's duty cycle on
+    # the shared single host core (0 = render flat out)
+    BANK_REFRESH_THROTTLE: float = 0.0
     # quaternion-space auxiliary loss weight for non-symmetric classes
     # (TrainHParams.quat_w): strong-gradient complement to the ADD loss's
     # plateau at large rotation errors. 0 = reference behavior

@@ -65,7 +65,17 @@ def build_bank(
         if log and (i + 1) % 500 == 0:
             log(f"bank: loaded {i + 1}/{n} frames")
     g_max = min(g_max, mcfg.max_gt)
+    return pack_frames(frames, g_max)
 
+
+def pack_frames(frames, g_max: int) -> Dict[str, np.ndarray]:
+    """Pack a list of `Frame`s into the fixed-shape bank-row arrays.
+
+    Shared by the one-shot `build_bank` staging and the continuous
+    `bank_refresh.BankRefresher` chunk producer, so refreshed rows are
+    bit-identical in layout to the initially staged ones.
+    """
+    n = len(frames)
     f0 = frames[0]
     im0 = pad_im(f0.color, 16)
     H, W = im0.shape[:2]

@@ -228,7 +228,10 @@ class Synthesizer:
         self.width, self.height = width, height
         self.class_colors = class_colors
         self.t_near, self.t_far = t_near, t_far
-        self.min_objects, self.max_objects = min_objects, max_objects
+        # clamp: a caller lowering max_objects below the default min (e.g.
+        # SyntheticDataset(max_objects=3)) must narrow the range, not crash
+        # randint(low >= high) in render_scene
+        self.min_objects, self.max_objects = min(min_objects, max_objects), max_objects
         self.min_visible = min_visible
         self.pose_bank = pose_bank
         self.pose_noise_deg = pose_noise_deg
@@ -310,11 +313,22 @@ class Synthesizer:
                     factor_depth=1000.0,
                     is_synthetic=True,
                 )
-        # fall through: return the last attempt regardless
+        # fall through after max_tries: the reference resamples until every
+        # object passes the visibility gate (synthesize.cpp:448-452); with a
+        # bounded retry budget the equivalent guarantee is to strip the
+        # under-visible objects from the frame's supervision entirely — both
+        # their GT rows (cls_indexes/poses/centers) and their label pixels —
+        # so a mostly-occluded object can never feed the pose matcher a GT
+        # row its appearance cannot support
+        keep = visible >= self.min_visible
+        label = buf.label.copy()
+        for c in classes[~keep]:
+            label[label == c] = 0
         return Frame(
-            color=buf.color[:, :, ::-1].copy(), label=buf.label.copy(),
+            color=buf.color[:, :, ::-1].copy(), label=label,
             depth=(buf.depth * 1000.0).astype(np.uint16),
-            cls_indexes=classes.astype(np.float32), poses=poses, center=centers,
+            cls_indexes=classes[keep].astype(np.float32),
+            poses=poses[:, :, keep], center=centers[keep],
             intrinsic_matrix=self.K, factor_depth=1000.0, is_synthetic=True,
         )
 

@@ -268,3 +268,44 @@ def test_frozen_val_snapshot(tmp_path):
     bad = FrozenSyntheticDataset(base, out)
     with pytest.raises(RuntimeError, match="hash mismatch"):
         bad.load_frame(0)
+
+
+def test_render_scene_fallthrough_drops_undervisible_gt():
+    """A frame that exhausts max_tries must not carry GT supervision for
+    under-visible objects (verdict r3 task 6): the reference resamples until
+    every object passes the 800-px gate (synthesize.cpp:448-452); the bounded
+    fall-through here strips failing objects from cls_indexes/poses/centers
+    AND re-labels their pixels background."""
+    from posecnn_tpu.data.synthetic import build_ycb_synthesizer
+    from posecnn_tpu.data.toy import toy
+
+    ds = toy("train", num_classes=4, num_images=4, height=96, width=128)
+    syn = build_ycb_synthesizer(
+        ds, width=128, height=96, min_objects=2, max_objects=3, min_visible=1
+    )
+    base = syn.render_scene(np.random.RandomState(7), max_tries=1)
+    counts = {int(c): int((base.label == int(c)).sum())
+              for c in base.cls_indexes}
+    assert len(counts) >= 2 and min(counts.values()) < max(counts.values())
+
+    # threshold chosen to split the visible-pixel counts of this exact scene
+    gate = min(counts.values()) + 1
+    syn.min_visible = gate
+    fr = syn.render_scene(np.random.RandomState(7), max_tries=1)
+
+    kept = {int(c) for c in fr.cls_indexes}
+    dropped = {c for c, n in counts.items() if n < gate}
+    assert dropped and kept == set(counts) - dropped
+    for c in dropped:
+        assert (fr.label == c).sum() == 0, "dropped object left label pixels"
+    # GT arrays stay mutually consistent
+    assert fr.poses.shape[2] == len(kept) == fr.center.shape[0]
+    for j, c in enumerate(fr.cls_indexes.astype(int)):
+        assert counts[c] >= gate
+
+    # all-dropped frame: zero GT rows, all-background label
+    syn.min_visible = 10 ** 9
+    fr0 = syn.render_scene(np.random.RandomState(7), max_tries=1)
+    assert fr0.cls_indexes.shape == (0,)
+    assert fr0.poses.shape == (3, 4, 0) and fr0.center.shape == (0, 2)
+    assert int(fr0.label.max()) == 0

@@ -306,6 +306,13 @@ def main():
         params, opt_state, step = state
         state = (load_tf1_checkpoint(args.pretrained_ckpt, params, log=print), opt_state, step)
 
+    # resume before bank construction: the bank refresher's seed stream
+    # folds in the resume iteration so kill+resume cycles keep advancing
+    # through fresh scenes instead of replaying the first chunks
+    start_iter = 0
+    if args.resume:
+        state, start_iter = solver.resume(state)
+
     if cfg.TPU.DEVICE_BANK:
         # device-resident dataset: stage every frame into HBM once and let
         # the jit step sample/assemble/augment on device (zero host work
@@ -341,12 +348,29 @@ def main():
                                           jax.numpy.float32)
                         if cfg.TRAIN.MATCHING else None),
         )
-        data_iter = itertools.repeat(bank)
+        if cfg.TPU.BANK_REFRESH:
+            # never-reuse-a-frame training (the reference renders a fresh
+            # scene per iteration): a daemon thread streams new renders
+            # into the HBM bank while the device steps
+            from posecnn_tpu.data.bank_refresh import (
+                BankRefresher, refresh_synthesizer, refreshing_bank_iter,
+            )
+
+            refresher = BankRefresher(
+                refresh_synthesizer(imdb),
+                g_max=bank["gt_centers"].shape[1],
+                chunk_size=cfg.TPU.BANK_REFRESH_CHUNK,
+                seed_offset=start_iter,
+                throttle_sec=cfg.TPU.BANK_REFRESH_THROTTLE,
+            )
+            refresher.start()
+            print(f"bank refresh: streaming fresh scenes in chunks of "
+                  f"{refresher.chunk_size} (seed offset {start_iter})")
+            data_iter = refreshing_bank_iter(bank, refresher, log=print)
+        else:
+            data_iter = itertools.repeat(bank)
     else:
         data_iter = prefetch(iter(layer), depth=cfg.TPU.PREFETCH)
-    start_iter = 0
-    if args.resume:
-        state, start_iter = solver.resume(state)
     solver.train(data_iter, state, args.max_iters, start_iter=start_iter)
     print("done solving")
 
