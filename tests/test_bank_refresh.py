@@ -149,3 +149,52 @@ def test_refreshing_bank_iter_end_to_end():
                for i in changed_rows)
     # the original bank dict is still intact (no donation)
     np.testing.assert_array_equal(np.asarray(bank["data"]), orig)
+
+
+def test_solver_trains_through_refreshing_iterator():
+    """Solver.train driven by refreshing_bank_iter: the full production
+    wiring (tools/train_net.py BANK_REFRESH branch) — generator as
+    data_iter, device prefetch shipping the bank dict, splices landing
+    between steps without invalidating the in-flight bank."""
+    from posecnn_tpu.data.minibatch import MinibatchConfig
+    from posecnn_tpu.engine.train import (
+        Solver, TrainHParams, create_train_state, make_bank_train_step,
+    )
+    from posecnn_tpu.models.posecnn import PoseCNNConfig
+
+    ds = _toy_imdb()
+    C = ds.num_classes
+    mcfg = MinibatchConfig(num_classes=C,
+                           pixel_means=(102.9801, 115.9465, 122.7717))
+    bank = jax.device_put(build_bank(ds, mcfg))
+    g_max = bank["gt_centers"].shape[1]
+
+    cfg = PoseCNNConfig(
+        num_classes=C, num_units=8, trunk_scale=0.25, vertex_reg=True,
+        pose_reg=True, is_train=True, keep_prob=1.0,
+        compute_dtype=jnp.float32, hough_class_slots=2, hough_max_samples=32,
+        hough_center_stride=4, hough_refine_window=8, label_threshold=5,
+        fc_dim=64, hough_gt_mix=0.5,
+    )
+    hp = TrainHParams(stepsize=1000, learning_rate=0.001, margin=1e-4)
+    rng = np.random.RandomState(0)
+    points = jnp.asarray(rng.randn(C, 16, 3).astype(np.float32) * 0.05)
+    extents = jnp.asarray(0.05 + 0.1 * rng.rand(C, 3).astype(np.float32))
+
+    state = create_train_state(cfg, hp, jax.random.PRNGKey(0))
+    step = make_bank_train_step(cfg, hp, points, jnp.zeros(C), extents,
+                                batch_size=2, max_gt=g_max, donate=False)
+    solver = Solver(cfg, hp, points=points, symmetry=jnp.zeros(C),
+                    extents=extents, step_fn=step, display=2)
+    r = BankRefresher(refresh_synthesizer(ds), g_max=g_max, chunk_size=2)
+    r.start()
+    try:
+        logged = []
+        state, metrics = solver.train(
+            iter(refreshing_bank_iter(bank, r)), state, max_iters=8,
+            log=logged.append, handle_signals=False,
+        )
+    finally:
+        r.stop()
+    assert metrics is not None and np.isfinite(float(metrics["loss"]))
+    assert any("iter 8/8" in s for s in logged)
