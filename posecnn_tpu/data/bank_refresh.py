@@ -36,6 +36,7 @@ per-step host cost stays zero.
 
 from __future__ import annotations
 
+import os
 import queue
 import threading
 from typing import Dict, Iterator, Optional
@@ -56,8 +57,11 @@ def refresh_synthesizer(imdb):
     """Synthesizer matching the train imdb's render configuration.
 
     `SyntheticDataset` carries its synthesizer; a `FrozenSyntheticDataset`
-    snapshot was rendered by `SyntheticDataset`'s defaults over its base
-    imdb (data/factory.py _lov_syn), so rebuild the same configuration.
+    rebuilds from the render params its freeze pinned into manifest.json
+    (data/synthetic.py freeze_dataset), so a snapshot frozen with
+    non-default dims/object counts refreshes with the same distribution.
+    Manifests predating the render_params field fall back to the
+    `SyntheticDataset` defaults they were rendered with.
     """
     synth = getattr(imdb, "synth", None)
     if synth is not None:
@@ -65,7 +69,9 @@ def refresh_synthesizer(imdb):
     from posecnn_tpu.data.synthetic import build_ycb_synthesizer
 
     base = getattr(imdb, "base", imdb)
-    return build_ycb_synthesizer(base, width=640, height=480, max_objects=5)
+    params = dict(getattr(imdb, "manifest", {}).get(
+        "render_params", {"width": 640, "height": 480, "max_objects": 5}))
+    return build_ycb_synthesizer(base, **params)
 
 
 class BankRefresher(threading.Thread):
@@ -81,7 +87,7 @@ class BankRefresher(threading.Thread):
 
     def __init__(self, synth, g_max: int, chunk_size: int = 64,
                  seed_offset: int = 0, max_ready: int = 2,
-                 throttle_sec: float = 0.0):
+                 throttle_sec: float = 0.0, counter_path: Optional[str] = None):
         super().__init__(daemon=True, name="bank-refresher")
         self.synth = synth
         self.g_max = int(g_max)
@@ -92,26 +98,49 @@ class BankRefresher(threading.Thread):
         # ~15 sightings/frame over the 160K schedule vs 160 frozen
         self.throttle_sec = float(throttle_sec)
         self._counter = int(seed_offset)
+        # seed_offset=start_iter only approximates frames already rendered:
+        # a child that wedges before iterations advance keeps rendering, so
+        # a kill+resume at the same start_iter would replay identical seeds.
+        # The sidecar persists the true high-water counter across restarts.
+        self.counter_path = counter_path
+        if counter_path is not None and os.path.exists(counter_path):
+            try:
+                with open(counter_path) as fh:
+                    self._counter = max(self._counter, int(fh.read().strip()))
+            except (OSError, ValueError):
+                pass
         self._ready: "queue.Queue[Dict[str, np.ndarray]]" = queue.Queue(
             maxsize=max_ready)
-        self._stop = threading.Event()
+        self._stop_evt = threading.Event()
         self.frames_produced = 0
+
+    def _persist_counter(self):
+        if self.counter_path is None:
+            return
+        tmp = self.counter_path + ".tmp"
+        try:
+            with open(tmp, "w") as fh:
+                fh.write(str(self._counter))
+            os.replace(tmp, self.counter_path)
+        except OSError:
+            pass
 
     def run(self):
         import time as _time
 
-        while not self._stop.is_set():
+        while not self._stop_evt.is_set():
             frames = []
             for _ in range(self.chunk_size):
                 rng = np.random.RandomState(REFRESH_SEED0 + self._counter)
                 self._counter += 1
                 frames.append(self.synth.render_scene(rng))
-                if self._stop.is_set():
+                if self._stop_evt.is_set():
                     return
                 if self.throttle_sec > 0.0:
                     _time.sleep(self.throttle_sec)
             chunk = pack_frames(frames, self.g_max)
-            while not self._stop.is_set():
+            self._persist_counter()
+            while not self._stop_evt.is_set():
                 try:
                     self._ready.put(chunk, timeout=1.0)
                     self.frames_produced += self.chunk_size
@@ -127,7 +156,7 @@ class BankRefresher(threading.Thread):
             return None
 
     def stop(self):
-        self._stop.set()
+        self._stop_evt.set()
 
 
 def make_bank_updater():

@@ -269,68 +269,82 @@ class Synthesizer:
         diffuse = 1.0 - ambient + 0.1 * (rng.rand() - 0.5)
         return (float(d[0]), float(d[1]), float(d[2]), float(ambient), float(diffuse))
 
+    def _base_color(self, cls, rng):
+        if self.class_colors:
+            return np.asarray(self.class_colors[cls], np.float32) / 255.0
+        return np.array([0.3 + 0.7 * rng.rand() for _ in range(3)], np.float32)
+
+    def _render_objects(self, classes, poses64, bases, light):
+        """Rasterize the given objects into fresh scene buffers.
+
+        `poses64` holds the float64 (3,4) poses exactly as sampled (the
+        rasterizer must see full precision) and `bases` the per-object base
+        colors, both pre-drawn by the caller so the rng consumption order —
+        pose then color per object — matches the frozen-snapshot era and a
+        fall-through re-render reuses the first pass's colors.
+        """
+        buf = SceneBuffers(self.height, self.width)
+        for j, cls in enumerate(classes):
+            mesh = self.meshes[cls]
+            rasterize_mesh(
+                buf, mesh.vertices, mesh.faces,
+                poses64[j], self.K, int(cls),
+                vertex_colors=mesh.colors, base_color=tuple(bases[j]),
+                light=light,
+            )
+        return buf
+
+    def _frame_from(self, buf, classes, poses, centers) -> Frame:
+        return Frame(
+            color=buf.color[:, :, ::-1].copy(),  # RGB->BGR
+            label=buf.label.copy(),
+            depth=(buf.depth * 1000.0).astype(np.uint16),
+            cls_indexes=np.asarray(classes, np.float32),
+            poses=poses,
+            center=centers,
+            intrinsic_matrix=self.K,
+            factor_depth=1000.0,
+            is_synthetic=True,
+        )
+
     def render_scene(self, rng: np.random.RandomState, max_tries: int = 5) -> Frame:
         classes_avail = [c for c in range(1, self.num_classes) if self.meshes[c] is not None]
         for _ in range(max_tries):
             n = rng.randint(self.min_objects, self.max_objects + 1)
             n = min(n, len(classes_avail))
             classes = rng.choice(classes_avail, size=n, replace=False)
-            buf = SceneBuffers(self.height, self.width)
             poses = np.zeros((3, 4, n), np.float32)
+            poses64, bases = [], []
             centers = np.zeros((n, 2), np.float32)
             light = self._sample_light(rng)
-            for j, cls in enumerate(classes):
+            for j in range(n):
                 R, t = self._sample_pose(rng)
                 poses[:, :3, j] = R
                 poses[:, 3, j] = t
+                poses64.append(np.hstack([R, t[:, None]]))
+                bases.append(self._base_color(int(classes[j]), rng))
                 centers[j] = [
                     self.K[0, 0] * t[0] / t[2] + self.K[0, 2],
                     self.K[1, 1] * t[1] / t[2] + self.K[1, 2],
                 ]
-                mesh = self.meshes[cls]
-                base = (
-                    np.asarray(self.class_colors[cls], np.float32) / 255.0
-                    if self.class_colors
-                    else np.array([0.3 + 0.7 * rng.rand() for _ in range(3)], np.float32)
-                )
-                rasterize_mesh(
-                    buf, mesh.vertices, mesh.faces,
-                    np.hstack([R, t[:, None]]), self.K, int(cls),
-                    vertex_colors=mesh.colors, base_color=tuple(base),
-                    light=light,
-                )
+            buf = self._render_objects(classes, poses64, bases, light)
             visible = np.array([(buf.label == c).sum() for c in classes])
             if (visible >= self.min_visible).all():
-                depth_raw = (buf.depth * 1000.0).astype(np.uint16)
-                return Frame(
-                    color=buf.color[:, :, ::-1].copy(),  # RGB->BGR
-                    label=buf.label.copy(),
-                    depth=depth_raw,
-                    cls_indexes=classes.astype(np.float32),
-                    poses=poses,
-                    center=centers,
-                    intrinsic_matrix=self.K,
-                    factor_depth=1000.0,
-                    is_synthetic=True,
-                )
+                return self._frame_from(buf, classes, poses, centers)
         # fall through after max_tries: the reference resamples until every
         # object passes the visibility gate (synthesize.cpp:448-452); with a
-        # bounded retry budget the equivalent guarantee is to strip the
-        # under-visible objects from the frame's supervision entirely — both
-        # their GT rows (cls_indexes/poses/centers) and their label pixels —
-        # so a mostly-occluded object can never feed the pose matcher a GT
-        # row its appearance cannot support
+        # bounded retry budget the equivalent guarantee is to drop the
+        # under-visible objects and re-render the scene from only the kept
+        # set, so color, label and GT rows stay mutually consistent — a
+        # dropped object's appearance must not remain in the image with its
+        # pixels labeled background (that would train the segmentation head
+        # to call visible object pixels background)
         keep = visible >= self.min_visible
-        label = buf.label.copy()
-        for c in classes[~keep]:
-            label[label == c] = 0
-        return Frame(
-            color=buf.color[:, :, ::-1].copy(), label=label,
-            depth=(buf.depth * 1000.0).astype(np.uint16),
-            cls_indexes=classes[keep].astype(np.float32),
-            poses=poses[:, :, keep], center=centers[keep],
-            intrinsic_matrix=self.K, factor_depth=1000.0, is_synthetic=True,
-        )
+        classes, poses, centers = classes[keep], poses[:, :, keep], centers[keep]
+        poses64 = [p for p, k in zip(poses64, keep) if k]
+        bases = [b for b, k in zip(bases, keep) if k]
+        buf = self._render_objects(classes, poses64, bases, light)
+        return self._frame_from(buf, classes, poses, centers)
 
 
 def build_ycb_synthesizer(dataset, width=640, height=480, **kwargs) -> Synthesizer:
@@ -425,6 +439,17 @@ def freeze_dataset(imdb, out_dir: str) -> dict:
 
     os.makedirs(out_dir, exist_ok=True)
     manifest = {"name": imdb.name, "num_images": imdb.num_images, "frames": []}
+    synth = getattr(imdb, "synth", None)
+    if synth is not None:
+        # pin the render configuration so consumers that must match this
+        # snapshot's distribution (data/bank_refresh.refresh_synthesizer)
+        # rebuild from the manifest instead of guessing defaults
+        manifest["render_params"] = {
+            "width": synth.width, "height": synth.height,
+            "min_objects": synth.min_objects, "max_objects": synth.max_objects,
+            "min_visible": synth.min_visible,
+            "t_near": synth.t_near, "t_far": synth.t_far,
+        }
     for i in range(imdb.num_images):
         f = imdb.load_frame(i)
         np.savez_compressed(

@@ -112,6 +112,67 @@ def test_refresher_produces_fresh_deterministic_chunks():
                               pack_frames([f_train0], 3)["data"][0])
 
 
+def test_counter_sidecar_survives_restart(tmp_path):
+    """advisor r4: seed_offset=start_iter alone replays identical seeds when
+    a child wedged before iterations advanced; the sidecar persists the true
+    high-water counter so a kill+resume keeps advancing through NEW scenes."""
+    ds = _toy_imdb()
+    synth = refresh_synthesizer(ds)
+    path = str(tmp_path / "bank_refresh_counter.txt")
+
+    r1 = BankRefresher(synth, g_max=3, chunk_size=2, seed_offset=0,
+                       counter_path=path)
+    r1.start()
+    deadline = time.time() + 60
+    while r1.poll() is None and time.time() < deadline:
+        time.sleep(0.05)
+    r1.stop()
+    r1.join(timeout=30)
+    with open(path) as fh:
+        persisted = int(fh.read())
+    assert persisted >= 2  # at least one chunk's seeds recorded
+
+    # "resume" at the SAME start_iter: without the sidecar this replays
+    # seeds [0, 2); with it the counter resumes past the persisted mark
+    r2 = BankRefresher(synth, g_max=3, chunk_size=2, seed_offset=0,
+                       counter_path=path)
+    assert r2._counter == persisted
+    # a later start_iter still wins when it is ahead of the sidecar
+    r3 = BankRefresher(synth, g_max=3, chunk_size=2,
+                       seed_offset=persisted + 100, counter_path=path)
+    assert r3._counter == persisted + 100
+
+
+def test_refresh_synthesizer_rebuilds_from_frozen_manifest(tmp_path):
+    """advisor r4: a FrozenSyntheticDataset's refresh distribution must come
+    from the render params its freeze pinned into manifest.json, not from
+    hardcoded 640x480/5-object defaults."""
+    from posecnn_tpu.data.synthetic import (
+        FrozenSyntheticDataset, SyntheticDataset, freeze_dataset,
+    )
+    from posecnn_tpu.data.toy import toy
+
+    base = toy("train", num_classes=4, num_images=4, height=96, width=128)
+    live = SyntheticDataset(base, split="train", num_images=2,
+                            width=128, height=96, max_objects=3)
+    out = str(tmp_path / "snap")
+    manifest = freeze_dataset(live, out)
+    assert manifest["render_params"]["width"] == 128
+    assert manifest["render_params"]["max_objects"] == 3
+
+    frozen = FrozenSyntheticDataset(base, out)
+    synth = refresh_synthesizer(frozen)
+    assert (synth.width, synth.height) == (128, 96)
+    assert synth.max_objects == 3
+    assert synth.min_visible == live.synth.min_visible
+
+    # manifests predating render_params fall back to the era's defaults
+    del frozen.manifest["render_params"]
+    synth_legacy = refresh_synthesizer(frozen)
+    assert (synth_legacy.width, synth_legacy.height) == (640, 480)
+    assert synth_legacy.max_objects == 5
+
+
 def test_refreshing_bank_iter_end_to_end():
     """Iterator yields a usable bank every step and splices chunks in as
     they arrive; spliced rows replace old ones at rotating offsets."""

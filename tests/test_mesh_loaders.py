@@ -302,10 +302,17 @@ def test_render_scene_fallthrough_drops_undervisible_gt():
     assert fr.poses.shape[2] == len(kept) == fr.center.shape[0]
     for j, c in enumerate(fr.cls_indexes.astype(int)):
         assert counts[c] >= gate
+    # appearance/label consistency (advisor r4): the scene is RE-RENDERED
+    # from the kept set, so a dropped object's rendered surface must not
+    # linger in color/depth under background labels — background pixels
+    # carry no geometry at all
+    assert int(fr.depth[fr.label == 0].max()) == 0, \
+        "dropped object left depth under background labels"
 
-    # all-dropped frame: zero GT rows, all-background label
+    # all-dropped frame: zero GT rows, all-background label, blank image
     syn.min_visible = 10 ** 9
     fr0 = syn.render_scene(np.random.RandomState(7), max_tries=1)
     assert fr0.cls_indexes.shape == (0,)
     assert fr0.poses.shape == (3, 4, 0) and fr0.center.shape == (0, 2)
     assert int(fr0.label.max()) == 0
+    assert int(fr0.depth.max()) == 0 and int(fr0.color.max()) == 0

@@ -56,26 +56,28 @@ WORKER = textwrap.dedent(
         pose_reg=True, is_train=True, keep_prob=1.0, compute_dtype=jnp.float32,
         hough_class_slots=2, hough_max_samples=32, hough_center_stride=4,
         hough_refine_window=8, label_threshold=5, fc_dim=64,
+        # teacher-forced hough so the detections match their GT rows and the
+        # ADD branch is numerically live across the process boundary (the
+        # gradient path the reference spends 805 CUDA lines on,
+        # average_distance_loss_op_gpu.cu.cc) — not just compiled
+        hough_gt_mix=1.0,
     )
     hp = TrainHParams(stepsize=1000, learning_rate=0.01, vertex_w=1.0)
-    rng = np.random.RandomState(10 + pid)
-    meta = np.zeros((4, 48), np.float32)
-    meta[:, 0] = meta[:, 4] = 60.0
-    meta[:, 2], meta[:, 5] = W / 2.0, H / 2.0
+
+    # the SAME coherent global scene built in both processes (seed-pinned);
+    # each contributes its local half of the 8 images, GT tables replicate
+    from posecnn_tpu.utils.gate_batch import live_pose_batch
+
+    gb = {k: np.asarray(v)
+          for k, v in live_pose_batch(8, H, W, C, np.random.RandomState(42)).items()}
+    batch_keys = ("data", "gt_label_2d", "gt_centers", "meta_data",
+                  "chroma_dhls", "noise_sigma")
     local_batch = {
-        "data": rng.randn(4, H, W, 3).astype(np.float32),
-        "gt_label_2d": rng.randint(0, C, size=(4, H, W)).astype(np.int32),
-        "vertex_targets": rng.randn(4, H, W, 3 * C).astype(np.float32) * 0.1,
-        "vertex_weights": (rng.rand(4, H, W, 3 * C) > 0.7).astype(np.float32),
-        "meta_data": meta,
-        # replicated blob: must round-trip unsharded
-        "poses": np.ones((8, 13), np.float32),
+        k: (v[pid * 4:(pid + 1) * 4] if k in batch_keys else v)
+        for k, v in gb.items()
     }
-    batch = global_batch_from_local(
-        mesh, local_batch,
-        batch_keys=("data", "gt_label_2d", "vertex_targets", "vertex_weights", "meta_data"),
-    )
-    assert batch["poses"].shape == (8, 13), batch["poses"].shape
+    batch = global_batch_from_local(mesh, local_batch, batch_keys=batch_keys)
+    assert batch["poses"].shape == gb["poses"].shape, batch["poses"].shape
     assert batch["data"].shape == (8, H, W, 3), batch["data"].shape
 
     rng2 = np.random.RandomState(0)
@@ -90,7 +92,9 @@ WORKER = textwrap.dedent(
         loss = float(metrics["loss"])
         assert np.isfinite(loss), metrics
         losses.append(loss)
-    print(f"proc {pid} ok total={total} losses={losses}")
+    loss_pose = float(metrics["loss_pose"])
+    assert loss_pose > 0.0, f"pose branch inert across hosts: {metrics}"
+    print(f"proc {pid} ok total={total} losses={losses} loss_pose={loss_pose}")
     """
 )
 

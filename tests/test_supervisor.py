@@ -103,3 +103,85 @@ class TestRunDirFor:
     def test_output_override_wins(self, sup):
         assert sup.run_dir_for(None, "ignored", "vgg16_convs",
                                "/tmp/override") == "/tmp/override"
+
+
+class TestPrefixFilter:
+    def test_stale_other_run_ckpt_ignored(self, sup, tmp_path):
+        # advisor finding: a reused output dir holding a longer previous
+        # run's snapshots must not satisfy a new run's completion
+        (tmp_path / "old_long_run_iter_160000.npz").write_bytes(b"x")
+        (tmp_path / "vgg16_fcn_new_iter_5000.npz").write_bytes(b"x")
+        it, name = sup.latest_ckpt(str(tmp_path), prefix="vgg16_fcn_new")
+        assert (it, name) == (5000, "vgg16_fcn_new_iter_5000.npz")
+        # unfiltered view still sees the global max (back-compat helper)
+        assert sup.latest_ckpt_iter(str(tmp_path)) == 160000
+
+    def test_prefix_must_match_full_stem(self, sup, tmp_path):
+        (tmp_path / "net_v2_iter_100.npz").write_bytes(b"x")
+        assert sup.latest_ckpt(str(tmp_path), prefix="net")[0] is None
+
+
+def _spawn(code):
+    import subprocess
+    import sys
+
+    return subprocess.Popen([sys.executable, "-c", code],
+                            start_new_session=True)
+
+
+class TestWaitSnapshotThenKill:
+    """The round-4 live failure: a 90 s fixed grace SIGKILLed the child
+    mid-signal-snapshot (device fetch ~15 min) and the resume lost ~5K
+    iterations. These pin the replacement policy with real child
+    processes."""
+
+    def test_clean_exit_within_grace(self, sup, tmp_path):
+        child = _spawn("import time; time.sleep(0.5)")
+        out = sup.wait_snapshot_then_kill(
+            child, str(tmp_path), "net", grace_sec=30.0,
+            settle_sec=0.2, poll_sec=0.1, log=lambda m: None)
+        assert out == "clean"
+        assert child.returncode == 0
+
+    def test_snapshot_lands_then_kill(self, sup, tmp_path):
+        # child simulates a slow snapshot (atomic rename) then wedges: the
+        # supervisor must NOT wait the full grace once the snapshot is on
+        # disk, and must SIGKILL after settle
+        import time as _t
+
+        code = (
+            "import os, time\n"
+            f"d = {str(tmp_path)!r}\n"
+            "time.sleep(0.6)\n"
+            "tmp = os.path.join(d, 'net_iter_150.npz.tmp')\n"
+            "open(tmp, 'wb').write(b'x')\n"
+            "os.replace(tmp, os.path.join(d, 'net_iter_150.npz'))\n"
+            "time.sleep(600)\n"
+        )
+        (tmp_path / "net_iter_100.npz").write_bytes(b"x")  # pre-kill ckpt
+        child = _spawn(code)
+        t0 = _t.time()
+        out = sup.wait_snapshot_then_kill(
+            child, str(tmp_path), "net", grace_sec=120.0,
+            settle_sec=0.3, poll_sec=0.1, log=lambda m: None)
+        assert out == "snapshot-kill"
+        assert _t.time() - t0 < 30.0  # short-circuited, not full grace
+        assert child.poll() is not None
+
+    def test_grace_expiry_kills_wedged_child(self, sup, tmp_path):
+        child = _spawn("import time; time.sleep(600)")
+        out = sup.wait_snapshot_then_kill(
+            child, str(tmp_path), "net", grace_sec=0.5,
+            settle_sec=0.2, poll_sec=0.1, log=lambda m: None)
+        assert out == "grace-kill"
+        assert child.poll() is not None
+
+    def test_pre_existing_ckpt_not_mistaken_for_fresh(self, sup, tmp_path):
+        # a checkpoint that predates the SIGTERM must not count as the
+        # signal snapshot landing
+        (tmp_path / "net_iter_100.npz").write_bytes(b"x")
+        child = _spawn("import time; time.sleep(600)")
+        out = sup.wait_snapshot_then_kill(
+            child, str(tmp_path), "net", grace_sec=0.6,
+            settle_sec=0.1, poll_sec=0.1, log=lambda m: None)
+        assert out == "grace-kill"

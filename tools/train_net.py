@@ -362,10 +362,14 @@ def main():
                 chunk_size=cfg.TPU.BANK_REFRESH_CHUNK,
                 seed_offset=start_iter,
                 throttle_sec=cfg.TPU.BANK_REFRESH_THROTTLE,
+                # sidecar keeps the seed high-water mark across supervisor
+                # kill+resume cycles (start_iter alone can replay seeds when
+                # a child wedged before iterations advanced)
+                counter_path=os.path.join(output_dir, "bank_refresh_counter.txt"),
             )
             refresher.start()
             print(f"bank refresh: streaming fresh scenes in chunks of "
-                  f"{refresher.chunk_size} (seed offset {start_iter})")
+                  f"{refresher.chunk_size} (seed offset {refresher._counter})")
             data_iter = refreshing_bank_iter(bank, refresher, log=print)
         else:
             data_iter = itertools.repeat(bank)
