@@ -105,6 +105,10 @@ class TrainConfig:
     SNAPSHOT_ITERS: int = 10000
     SNAPSHOT_PREFIX: str = "caffenet_fast_rcnn"
     SNAPSHOT_INFIX: str = ""
+    # write the end-of-run snapshot when max_iters is not a SNAPSHOT_ITERS
+    # multiple; measurement runs (e.g. refresh-throttle A/Bs) disable it —
+    # a device->host state fetch costs ~15 min through the debug tunnel
+    SNAPSHOT_FINAL: bool = True
     DISPLAY: int = 20
 
     USE_GT: bool = False

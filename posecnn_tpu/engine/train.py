@@ -539,6 +539,7 @@ class Solver:
         points_raw=None,
         vis_hook=None,
         step_fn=None,
+        snapshot_final: bool = True,
     ):
         self.model_cfg = model_cfg
         self.hp = hp
@@ -551,6 +552,9 @@ class Solver:
         self.snapshot_prefix = snapshot_prefix
         self.snapshot_opt_state = snapshot_opt_state
         self.snapshot_format = snapshot_format
+        # TRAIN.SNAPSHOT_FINAL: measurement runs skip the end-of-run
+        # snapshot (the periodic and signal snapshots are unaffected)
+        self.snapshot_final = snapshot_final
         self.display = display
         # TRAIN.VISUALIZE: callable (iteration, batch) -> None rendering the
         # assembled minibatch (engine.visualize.MinibatchVisualizer)
@@ -688,7 +692,7 @@ class Solver:
                     break
             else:
                 # final snapshot when the run didn't end on a periodic one
-                if self.output_dir and last_snap != max_iters:
+                if self.output_dir and self.snapshot_final and last_snap != max_iters:
                     self.snapshot(state, max_iters)
         finally:
             for sig, h in old_handlers.items():

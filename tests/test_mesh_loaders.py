@@ -270,6 +270,19 @@ def test_frozen_val_snapshot(tmp_path):
         bad.load_frame(0)
 
 
+def test_frozen_val_v4_registered():
+    """The 256-frame headline val set (round-4 verdict: 64-frame v3 AUC
+    deltas sit inside the noise floor) is registered, frozen, and serves
+    a manifest-verified frame from its own held-out seed region."""
+    from posecnn_tpu.data.factory import get_imdb
+
+    imdb = get_imdb("lov_syn_val_v4")
+    assert imdb.num_images == 256
+    f = imdb.load_frame(200)  # beyond v3's 64 — genuinely new frames
+    assert f.color.shape == (480, 640, 3)
+    assert f.cls_indexes.shape[0] == f.poses.shape[2] == f.center.shape[0]
+
+
 def test_render_scene_fallthrough_drops_undervisible_gt():
     """A frame that exhausts max_tries must not carry GT supervision for
     under-visible objects (verdict r3 task 6): the reference resamples until

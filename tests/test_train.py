@@ -316,3 +316,49 @@ def test_solver_sigterm_snapshot_survives_broken_log(tmp_path):
     solver.train(batches(), state, max_iters=10**6, log=broken_log)
     snaps = [f for f in os.listdir(tmp_path) if "iter_" in f]
     assert snaps, "preemption snapshot missing after SIGTERM with broken log"
+
+
+def test_solver_snapshot_final_gate(tmp_path):
+    """TRAIN.SNAPSHOT_FINAL=False skips the end-of-run snapshot (measurement
+    runs must not pay the ~15 min device->host state fetch); the default
+    keeps writing it when max_iters is off the periodic grid."""
+    import os
+
+    from posecnn_tpu.engine.train import Solver, TrainHParams, create_train_state
+    from posecnn_tpu.models.posecnn import PoseCNNConfig
+
+    C3 = 3
+    cfg = PoseCNNConfig(
+        num_classes=C3, num_units=8, trunk_scale=0.25, vertex_reg=False,
+        pose_reg=False, is_train=True, compute_dtype=jnp.float32, fc_dim=32,
+    )
+    hp = TrainHParams()
+    rng = np.random.RandomState(0)
+    meta = np.zeros((1, 48), np.float32)
+    meta[:, 0] = meta[:, 4] = 60.0
+    meta[:, 2], meta[:, 5] = W / 2.0, H / 2.0
+
+    def batches():
+        while True:
+            yield {
+                "data": jnp.asarray(rng.randn(1, H, W, 3).astype(np.float32)),
+                "gt_label_2d": jnp.zeros((1, H, W), jnp.int32),
+                "meta_data": jnp.asarray(meta),
+                "poses": jnp.zeros((8, 13), jnp.float32),
+            }
+
+    for final, expect in ((False, 0), (True, 1)):
+        out = tmp_path / f"final_{final}"
+        out.mkdir()
+        solver = Solver(
+            cfg, hp, points=np.zeros((C3, 8, 3), np.float32),
+            symmetry=np.zeros(C3, np.float32),
+            extents=0.1 + np.zeros((C3, 3), np.float32),
+            output_dir=str(out), snapshot_iters=10**9, display=10**9,
+            mesh=make_mesh(MeshSpec(data=1, model=1)), snapshot_final=final,
+        )
+        state = create_train_state(cfg, hp, jax.random.PRNGKey(0))
+        solver.train(batches(), state, max_iters=2, log=None,
+                     handle_signals=False)
+        snaps = [f for f in os.listdir(out) if "iter_" in f]
+        assert len(snaps) == expect, (final, snaps)

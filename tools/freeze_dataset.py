@@ -10,6 +10,7 @@ changes (round-2 verdict, "weak" #7).
 
 Usage:
   python tools/freeze_dataset.py --imdb lov_syn_val --out data/lov_syn_val_v3
+  python tools/freeze_dataset.py --imdb lov_syn_val --num 256 --out data/lov_syn_val_v4
   python tools/freeze_dataset.py --verify data/lov_syn_val_v3
 """
 
@@ -25,6 +26,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--imdb", default="lov_syn_val")
     ap.add_argument("--out", default=None)
+    ap.add_argument("--num", type=int, default=None,
+                    help="frame count for the re-frozen split (default: keep "
+                         "the registered dataset's size)")
     ap.add_argument("--verify", default=None, help="snapshot dir to verify against a fresh render")
     args = ap.parse_args()
 
@@ -47,9 +51,14 @@ def main():
         sys.exit(1 if bad else 0)
 
     imdb = get_imdb(args.imdb)
-    if not isinstance(imdb, SyntheticDataset):
-        # frozen already registered: rebuild the live dataset to re-freeze
-        imdb = SyntheticDataset(lov("train"), split="val", num_images=64)
+    if not isinstance(imdb, SyntheticDataset) or args.num:
+        # frozen already registered (or a different size was asked for):
+        # rebuild the live dataset to re-freeze; val seeds are i+10_000_000
+        # (SyntheticDataset._seed0) so a larger val set extends the same
+        # held-out seed region — still disjoint from the train stream
+        # (seed0 0) and the refresh stream (seed0 50_000_000)
+        imdb = SyntheticDataset(lov("train"), split="val",
+                                num_images=args.num or 64)
     out = args.out or f"data/{args.imdb}_v3"
     manifest = freeze_dataset(imdb, out)
     print(f"froze {manifest['num_images']} frames of {manifest['name']} -> {out}")

@@ -285,6 +285,7 @@ def main():
         forward_fn=forward_fn,
         ce_threshold=ce_threshold,
         snapshot_format=cfg.TPU.CHECKPOINT_FORMAT,
+        snapshot_final=cfg.TRAIN.SNAPSHOT_FINAL,
     )
     if forward_fn is not None:
         import optax
