@@ -242,6 +242,13 @@ class TPUConfig:
     # (TrainHParams.quat_w): strong-gradient complement to the ADD loss's
     # plateau at large rotation errors. 0 = reference behavior
     QUAT_AUX_W: float = 0.0
+    # object-normalized log-z channel weighting in the fused vertex loss
+    # (ops/vertex_targets.smooth_l1_loss_vertex_sparse z_obj_norm): equalize
+    # per-instance (not per-pixel) contributions so the depth head's
+    # effective prior is object-uniform — counters the measured 0.85-slope
+    # z attenuation toward the pixel-weighted prior mean (~0.96 m,
+    # output/*/z_analysis.json). False = reference behavior
+    VERTEX_Z_OBJ_NORM: bool = False
     # host prefetch depth (reference: tf.FIFOQueue(25), vgg16_convs.py:45)
     PREFETCH: int = 4
     # debug/sanitizer toggles (the reference had none, SURVEY.md §5): raise
@@ -252,8 +259,10 @@ class TPUConfig:
     ICP_ITERS: int = 20
     # point-to-plane energy weight in the ICP refiner (0 = point-to-point
     # only). First-order equivalent of the reference solveICP SDF term
-    # (synthesize.cpp:2052-2200); see engine/refine.icp_refine
-    ICP_PLANE_WEIGHT: float = 0.0
+    # (synthesize.cpp:2052-2200); see engine/refine.icp_refine. Default 1.0
+    # won the round-5 A/B: ADD-S AUC+ICP 0.549 vs 0.538 on the refresh-160K
+    # checkpoint (BASELINE.md round-5 table)
+    ICP_PLANE_WEIGHT: float = 1.0
     DONATE_BATCH: bool = True
 
 

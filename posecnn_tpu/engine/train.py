@@ -76,6 +76,11 @@ class TrainHParams:
     # our fixed-shape row padding otherwise attenuates the loss ~1.6x)
     pose_norm_valid: bool = False
     vertex_w_inside: float = 10.0  # fg weight in vertex targets (minibatch.py:577)
+    # TPU.VERTEX_Z_OBJ_NORM: object-normalized log-z channel weighting (see
+    # ops/vertex_targets.smooth_l1_loss_vertex_sparse) — counters the
+    # measured ~0.85-slope depth attenuation toward the pixel-weighted z
+    # prior. Off by default (reference parity).
+    vertex_z_obj_norm: bool = False
     # render-and-compare matching loss weight (reference TRAIN.MATCHING flag;
     # the op existed but no reference network wired it — opt-in here too)
     matching_w: float = 0.0
@@ -221,6 +226,7 @@ def compute_losses(
             loss_vertex = hp.vertex_w * smooth_l1_loss_vertex_sparse(
                 out["vertex_pred"], batch["gt_label_2d"], batch["gt_centers"],
                 model_cfg.num_classes, hp.vertex_w_inside,
+                z_obj_norm=hp.vertex_z_obj_norm,
             )
         losses["loss_vertex"] = loss_vertex
         loss = loss + loss_vertex

@@ -347,6 +347,59 @@ def test_sparse_vertex_loss_matches_dense_path():
     np.testing.assert_allclose(np.asarray(gs), np.asarray(gd), atol=1e-6)
 
 
+def test_sparse_vertex_loss_z_obj_norm():
+    """TPU.VERTEX_Z_OBJ_NORM: equal-size instances reduce to the parity
+    path exactly; unequal sizes shift z-channel gradient share toward the
+    small (far) instance while leaving direction channels untouched."""
+    from posecnn_tpu.ops.vertex_targets import smooth_l1_loss_vertex_sparse
+
+    rng = np.random.RandomState(7)
+    B, H, W, C = 1, 16, 16, 3
+
+    # two instances of EQUAL pixel count -> factor == 1 everywhere
+    label_eq = np.zeros((B, H, W), np.int32)
+    label_eq[0, :4, :8] = 1
+    label_eq[0, 8:12, 8:] = 2
+    gc = np.zeros((B, 4, 4), np.float32)
+    gc[0, 0] = [1, 4.0, 2.0, 0.6]
+    gc[0, 1] = [2, 12.0, 10.0, 1.8]
+    pred = jnp.asarray(rng.randn(B, H, W, 3 * C).astype(np.float32) * 0.1)
+
+    base = smooth_l1_loss_vertex_sparse(pred, jnp.asarray(label_eq), jnp.asarray(gc), C, 10.0)
+    norm = smooth_l1_loss_vertex_sparse(
+        pred, jnp.asarray(label_eq), jnp.asarray(gc), C, 10.0, z_obj_norm=True)
+    np.testing.assert_allclose(float(norm), float(base), rtol=1e-6)
+
+    # unequal: class 1 has 16x the pixels of class 2
+    label_uneq = np.zeros((B, H, W), np.int32)
+    label_uneq[0, :8, :16] = 1   # 128 px (near, large)
+    label_uneq[0, 12:14, 2:6] = 2  # 8 px (far, small)
+
+    def loss_fn(p, z_obj_norm):
+        return smooth_l1_loss_vertex_sparse(
+            p, jnp.asarray(label_uneq), jnp.asarray(gc), C, 10.0,
+            z_obj_norm=z_obj_norm)
+
+    g_base = jax.grad(lambda p: loss_fn(p, False))(pred).reshape(B, H, W, C, 3)
+    g_norm = jax.grad(lambda p: loss_fn(p, True))(pred).reshape(B, H, W, C, 3)
+
+    # z-gradient mass on the small instance rises relative to the large one
+    def z_mass(g, cls, mask):
+        return float(jnp.abs(g[0, :, :, cls, 2])[jnp.asarray(mask)].sum())
+
+    m1, m2 = label_uneq[0] == 1, label_uneq[0] == 2
+    ratio_base = z_mass(g_base, 2, m2) / z_mass(g_base, 1, m1)
+    ratio_norm = z_mass(g_norm, 2, m2) / z_mass(g_norm, 1, m1)
+    assert ratio_norm > 2.0 * ratio_base, (ratio_base, ratio_norm)
+
+    # direction channels: same gradient *direction* per pixel (only the
+    # global normalization constant differs)
+    gd_base, gd_norm = g_base[..., :2], g_norm[..., :2]
+    scale = float(jnp.sum(gd_base * gd_norm) / (jnp.sum(gd_norm * gd_norm) + 1e-12))
+    np.testing.assert_allclose(
+        np.asarray(gd_base), scale * np.asarray(gd_norm), atol=1e-6)
+
+
 def test_vertex_targets_device_adaptation_frame():
     import numpy as np
 

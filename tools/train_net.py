@@ -142,6 +142,7 @@ def main():
         pose_norm_valid=cfg.TRAIN.POSE_NORM_VALID,
         matching_w=1.0 if cfg.TRAIN.MATCHING else 0.0,
         quat_w=cfg.TPU.QUAT_AUX_W,
+        vertex_z_obj_norm=cfg.TPU.VERTEX_Z_OBJ_NORM,
     )
     mcfg = MinibatchConfig(
         num_classes=imdb.num_classes,
