@@ -56,9 +56,11 @@ def main():
     dets = np.load(args.dets, allow_pickle=True)
     frames = sorted({k.split("_")[0] for k in dets.files})
     rows = []
+    missing_gt = 0
     for f in frames:
         gt_path = os.path.join(args.val, f + ".npz")
         if not os.path.exists(gt_path):
+            missing_gt += 1
             continue
         gt = np.load(gt_path, allow_pickle=True)
         for cls, pt, gtt in match_frame(
@@ -67,6 +69,9 @@ def main():
             rows.append((cls, *pt, *gtt))
     if not rows:
         raise SystemExit(f"no matched detections under {args.val}")
+    if missing_gt:
+        print(f"WARNING: {missing_gt}/{len(frames)} det frames have no GT "
+              f"file under {args.val} — wrong --val split?", flush=True)
     r = np.asarray(rows, np.float64)
     cls, pred, gt = r[:, 0], r[:, 1:4], r[:, 4:7]
     xy_err = np.linalg.norm(pred[:, :2] - gt[:, :2], axis=1)
@@ -77,6 +82,11 @@ def main():
     cc = np.corrcoef(gt[:, 2], pred[:, 2])[0, 1]
     report = {
         "dets": args.dets,
+        # the GT population matched against — a dets file evaluated on a
+        # different split than --val silently matches only the overlap
+        # (caught live: a 256-frame v4 eval analyzed against the v3 dir
+        # matched 64 frames), so the report must name its GT source
+        "val_gt_dir": args.val,
         "poses_key": args.poses_key,
         "n_matched": int(len(rows)),
         "xy_err_median_m": float(np.median(xy_err)),
