@@ -107,7 +107,7 @@ class TrainConfig:
     SNAPSHOT_INFIX: str = ""
     # write the end-of-run snapshot when max_iters is not a SNAPSHOT_ITERS
     # multiple; measurement runs (e.g. refresh-throttle A/Bs) disable it —
-    # a device->host state fetch costs ~15 min through the debug tunnel
+    # a device->host state fetch costs 20 s-15 min through the debug tunnel
     SNAPSHOT_FINAL: bool = True
     DISPLAY: int = 20
 

@@ -84,7 +84,8 @@ def wait_snapshot_then_kill(child, out_dir, prefix, grace_sec,
 
     The Solver's handler fetches the full train state device->host before
     writing (atomic tmp+rename, core/checkpoint.py:59-65); through the
-    debug tunnel that fetch is ~15 min (BASELINE.md), so a fixed short
+    debug tunnel that fetch has measured anywhere from ~20 s (round-5
+    npz snapshots) to ~15 min (round-1 orbax), so a fixed short
     grace SIGKILLs mid-snapshot and loses up to SNAPSHOT_ITERS — observed
     live in round 4 (stall kill at 14960 resumed from 10000). Policy:
 
@@ -156,7 +157,7 @@ def main():
                     help="stall threshold before the first new metric row")
     ap.add_argument("--grace-sec", type=float, default=1800.0,
                     help="SIGTERM->SIGKILL grace; must cover the measured "
-                         "signal-snapshot time (~15 min device->host fetch "
+                         "signal-snapshot time (measured 20 s-15 min "
                          "through the tunnel, BASELINE.md). A landed "
                          "snapshot short-circuits the wait (--settle-sec).")
     ap.add_argument("--settle-sec", type=float, default=90.0,
