@@ -112,10 +112,27 @@ def lr_schedule(hp: TrainHParams):
 
 
 def make_optimizer(hp: TrainHParams):
-    sgd = optax.sgd(lr_schedule(hp), momentum=hp.momentum, nesterov=False)
+    """Momentum SGD with the lr applied OUTSIDE optax's own step count.
+
+    The optimizer is built at unit learning rate; step functions scale the
+    updates by `lr_schedule(hp)(step)` where `step` is the solver's state
+    counter (restored on resume). Passing the schedule to optax.sgd keeps
+    the decay clock in ScaleByScheduleState, which re-inits to count=0 on a
+    CHECKPOINT_OPT_STATE=False resume: a post-decay resume then silently
+    trains at sched(0)=LEARNING_RATE while logging sched(step) — observed
+    live in the round-5 z A/B, where a 160K->172K fine-tune applied 1e-3
+    instead of the logged 1e-4 and destroyed the model (val IoU 0.894->0.52,
+    median weight drift 53% in 12K iters vs 6% per 10K in-run). Driving the
+    lr off the restored step makes logged == applied under any resume."""
+    sgd = optax.sgd(1.0, momentum=hp.momentum, nesterov=False)
     if hp.clip_grad_norm > 0:
         return optax.chain(optax.clip_by_global_norm(hp.clip_grad_norm), sgd)
     return sgd
+
+
+def scale_updates(updates, lr):
+    """Scale unit-lr optimizer updates by the scheduled learning rate."""
+    return jax.tree_util.tree_map(lambda u: u * lr, updates)
 
 
 def regularization_loss(params: Dict, scale: float) -> jnp.ndarray:
@@ -327,9 +344,10 @@ def make_train_step(
             compute_losses, has_aux=True
         )(params, model_cfg, hp, batch, points, symmetry, extents, rng,
           forward_fn, ce_threshold, points_raw)
+        lr = sched(step)
         updates, opt_state = tx.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        losses["lr"] = sched(step)
+        params = optax.apply_updates(params, scale_updates(updates, lr))
+        losses["lr"] = lr
         return (params, opt_state, step + 1), losses
 
     repl = replicated(mesh)
@@ -454,9 +472,10 @@ def make_bank_train_step(
             compute_losses, has_aux=True
         )(params, model_cfg, hp, batch, points, symmetry, extents, r_loss,
           None, None, points_raw)
+        lr = sched(step)
         updates, opt_state = tx.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        losses["lr"] = sched(step)
+        params = optax.apply_updates(params, scale_updates(updates, lr))
+        losses["lr"] = lr
         return (params, opt_state, step + 1), losses
 
     return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
@@ -503,9 +522,10 @@ def make_seg_train_step(apply_fn: Callable, hp: TrainHParams, num_classes: int):
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             params, batch["data"], batch["gt_label_2d"], rng
         )
+        lr = sched(it)
         updates, opt_state = tx.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        metrics["lr"] = sched(it)
+        params = optax.apply_updates(params, scale_updates(updates, lr))
+        metrics["lr"] = lr
         return (params, opt_state, it + 1), metrics
 
     return step

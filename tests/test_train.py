@@ -61,6 +61,47 @@ def test_train_step_runs_and_loss_decreases():
     assert int(state[2]) == 4
 
 
+def test_resume_past_decay_applies_decayed_lr():
+    """Regression (round-5 z A/B incident): the applied lr must follow the
+    solver's restored step counter, not optax's internal ScaleBySchedule
+    count. A CHECKPOINT_OPT_STATE=False resume re-inits opt_state, and with
+    the schedule inside optax.sgd a post-decay resume trained at
+    sched(0)=LEARNING_RATE while logging sched(step) — 10x hot, destroying a
+    settled model (val IoU 0.894->0.52 in 12K iters). Simulate that resume:
+    fresh opt_state + step counter past the decay boundary; the parameter
+    update must be gamma x the pre-decay update."""
+    rng = np.random.RandomState(1)
+    cfg = _cfg()
+    hp = TrainHParams(stepsize=10, learning_rate=0.01, gamma=0.1, vertex_w=1.0)
+    mesh = make_mesh(MeshSpec(data=8, model=1))
+    points = jnp.asarray(rng.randn(C, 32, 3).astype(np.float32) * 0.05)
+    symmetry = jnp.zeros(C)
+    extents = jnp.asarray(0.1 + 0.1 * rng.rand(C, 3).astype(np.float32))
+    step = make_train_step(cfg, hp, mesh, points, symmetry, extents, donate=False)
+    batch = _batch(rng)
+
+    def delta_from(step_counter):
+        # fresh params + fresh opt_state at a given restored step counter —
+        # exactly what Solver.resume builds when opt state isn't snapshotted
+        state = create_train_state(cfg, hp, jax.random.PRNGKey(0))
+        state = (state[0], state[1], jnp.asarray(step_counter, jnp.int32))
+        (params2, _, _), metrics = step(state, batch, jax.random.PRNGKey(7))
+        deltas = jax.tree_util.tree_map(
+            lambda a, b: jnp.sum(jnp.abs(a - b)), params2, state[0]
+        )
+        d = float(sum(jax.tree_util.tree_leaves(deltas)))
+        return d, float(metrics["lr"])
+
+    d0, lr0 = delta_from(0)
+    d1, lr1 = delta_from(hp.stepsize + 1)
+    assert np.isclose(lr0, hp.learning_rate)
+    assert np.isclose(lr1, hp.learning_rate * hp.gamma)
+    # same grads, same momentum init: update magnitudes scale with the lr
+    # (5% tolerance: f32 param-delta cancellation at 1e-8 magnitudes; the
+    # regression this guards was a 10x error)
+    assert np.isclose(d1 / d0, hp.gamma, rtol=5e-2), (d0, d1)
+
+
 def _blob_scene(B=2, G=2):
     """Per-image class blobs with consistent GT labels/centers/poses, so the
     IoU>0.2 target gate actually matches when hough runs on GT inputs."""
