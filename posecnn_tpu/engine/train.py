@@ -765,7 +765,7 @@ def make_video_train_step(video_cfg, hp: TrainHParams, mesh: Mesh, donate: bool 
         params, opt_state, step = state
         (loss, metrics), grads = jax.value_and_grad(losses_fn, has_aux=True)(params, batch)
         updates, opt_state = tx.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
+        params = optax.apply_updates(params, scale_updates(updates, sched(step)))
         metrics["lr"] = sched(step)
         return (params, opt_state, step + 1), metrics
 
@@ -830,6 +830,12 @@ def make_det_train_step(det_cfg, hp: TrainHParams, points, symmetry, donate: boo
     """
     from posecnn_tpu.models.detection import vgg16_det_forward
 
+    # Coerce host constants once: numpy `points[tracer]` inside the jitted
+    # step would call ndarray.__array__ on a tracer (train_net.py passes
+    # numpy; tests pass jnp — accept both).
+    points = jnp.asarray(points, jnp.float32)
+    symmetry = jnp.asarray(symmetry, jnp.float32)
+
     tx = make_optimizer(hp)
     sched = lr_schedule(hp)
 
@@ -886,7 +892,7 @@ def make_det_train_step(det_cfg, hp: TrainHParams, points, symmetry, donate: boo
             params, batch, rng
         )
         updates, opt_state = tx.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
+        params = optax.apply_updates(params, scale_updates(updates, sched(step)))
         losses["lr"] = sched(step)
         return (params, opt_state, step + 1), losses
 
