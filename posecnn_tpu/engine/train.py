@@ -143,7 +143,8 @@ def regularization_loss(params: Dict, scale: float) -> jnp.ndarray:
     for name, p in params.items():
         if name.startswith("upscore"):
             continue
-        for leaf in p.values():
+        # GRU/video cells nest deeper than {layer: {w, b}} — walk all leaves
+        for leaf in jax.tree_util.tree_leaves(p):
             total = total + jnp.sum(jnp.square(leaf))
     return scale * 0.5 * total
 

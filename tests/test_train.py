@@ -403,3 +403,94 @@ def test_solver_snapshot_final_gate(tmp_path):
                      handle_signals=False)
         snaps = [f for f in os.listdir(out) if "iter_" in f]
         assert len(snaps) == expect, (final, snaps)
+
+
+def _delta_ratio(step_fn, make_state, run):
+    """|Δparams| after one step with a fresh opt state at counter 0 vs past
+    the decay boundary — must scale with sched(step), not optax's count."""
+    def delta(counter):
+        params, opt_state, _ = make_state()
+        state = (params, opt_state, jnp.asarray(counter, jnp.int32))
+        params2, lr = run(step_fn, state)
+        deltas = jax.tree_util.tree_map(
+            lambda a, b: jnp.sum(jnp.abs(a - b)), params2, params
+        )
+        return float(sum(jax.tree_util.tree_leaves(deltas))), lr
+    d0, lr0 = delta(0)
+    d1, lr1 = delta(11)  # stepsize=10 below
+    return d0, d1, lr0, lr1
+
+
+def test_det_step_applies_decayed_lr_and_accepts_numpy_points():
+    """Regression: the unit-lr optimizer refactor scaled updates by
+    sched(step) in make_train_step but the det step applied raw unit-lr
+    updates (effective lr 1.0). Also: train_net.py passes numpy
+    points/symmetry, which raised TracerArrayConversionError when indexed by
+    a traced class id inside the jitted step."""
+    from posecnn_tpu.data.factory import get_imdb
+    from posecnn_tpu.engine.train import (
+        create_det_train_state, det_batch_from_frame, make_det_train_step,
+    )
+    from posecnn_tpu.models.detection import DetConfig
+
+    imdb = get_imdb("toy_train")
+    cfg = DetConfig(
+        num_classes=imdb.num_classes, is_train=True, compute_dtype=jnp.float32,
+        rpn_pre_nms_top_n=64, rpn_post_nms_top_n=16, roi_batch_size=16, fc_dim=64,
+    )
+    hp = TrainHParams(stepsize=10, learning_rate=0.01, gamma=0.1)
+    points = np.stack([np.asarray(p) for p in imdb._points_all]) \
+        if isinstance(imdb._points_all, list) else np.asarray(imdb._points_all)
+    # numpy on purpose — the CLI path
+    step = make_det_train_step(cfg, hp, points, np.asarray(imdb._symmetry))
+    batch = det_batch_from_frame(imdb.load_frame(0), max_gt=8)
+
+    def run(step_fn, state):
+        (params2, _, _), m = step_fn(state, batch, jax.random.PRNGKey(7))
+        return params2, float(m["lr"])
+
+    d0, d1, lr0, lr1 = _delta_ratio(
+        step, lambda: create_det_train_state(cfg, hp, jax.random.PRNGKey(0)), run
+    )
+    assert np.isclose(lr0, hp.learning_rate) and np.isclose(lr1, hp.learning_rate * hp.gamma)
+    assert np.isclose(d1 / d0, hp.gamma, rtol=5e-2), (d0, d1)
+
+
+def test_video_step_applies_decayed_lr():
+    """Same regression for the multi-frame GRU step (effective lr was 1.0)."""
+    from posecnn_tpu.engine.train import make_optimizer, make_video_train_step
+    from posecnn_tpu.models.video import VideoConfig, init_video_params
+
+    cfg = VideoConfig(num_classes=3, num_units=4, compute_dtype=jnp.float32)
+    hp = TrainHParams(stepsize=10, learning_rate=0.01, gamma=0.1)
+    mesh = make_mesh(MeshSpec(data=1, model=1))
+    step = make_video_train_step(cfg, hp, mesh, donate=False)
+
+    T, Bv, Hv, Wv = 2, 1, 16, 16
+    rng = np.random.RandomState(0)
+    meta = np.zeros((T, Bv, 48), np.float32)
+    K = np.array([[10.0, 0, 8], [0, 10.0, 8], [0, 0, 1]])
+    meta[..., 0:9] = K.flatten()
+    meta[..., 9:18] = np.linalg.inv(K).flatten()
+    meta[..., 18:30] = np.hstack([np.eye(3), np.zeros((3, 1))]).flatten()
+    meta[..., 30:42] = np.hstack([np.eye(3), np.zeros((3, 1))]).flatten()
+    batch = {
+        "data": jnp.asarray(rng.randn(T, Bv, Hv, Wv, 3).astype(np.float32)),
+        "gt_label_2d": jnp.asarray(rng.randint(0, 3, (T, Bv, Hv, Wv)).astype(np.int32)),
+        "depth": jnp.ones((T, Bv, Hv, Wv)),
+        "meta_data": jnp.asarray(meta),
+    }
+
+    tx = make_optimizer(hp)
+
+    def make_state():
+        params = init_video_params(jax.random.PRNGKey(0), cfg)
+        return params, tx.init(params), jnp.asarray(0, jnp.int32)
+
+    def run(step_fn, state):
+        (params2, _, _), m = step_fn(state, batch)
+        return params2, float(m["lr"])
+
+    d0, d1, lr0, lr1 = _delta_ratio(step, make_state, run)
+    assert np.isclose(lr0, hp.learning_rate) and np.isclose(lr1, hp.learning_rate * hp.gamma)
+    assert np.isclose(d1 / d0, hp.gamma, rtol=5e-2), (d0, d1)
