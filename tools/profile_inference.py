@@ -59,6 +59,10 @@ def chained_latency(fn, params, raw, iters=4, K=25):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="output/profile_inference.json")
+    ap.add_argument("--center_stride", type=int, default=None,
+                    help="override hough_center_stride (coarse-grid A/B)")
+    ap.add_argument("--refine_window", type=int, default=None,
+                    help="override hough_refine_window")
     args = ap.parse_args()
 
     import jax
@@ -73,6 +77,13 @@ def main():
     raw = jnp.asarray(rng.randint(0, 255, size=raw.shape, dtype=np.uint8))
     means = jnp.asarray([102.9801, 115.9465, 122.7717], jnp.float32).reshape(1, 1, 1, 3)
     base_cfg = _flagship_cfg(is_train=False)
+    hough_over = {}
+    if args.center_stride is not None:
+        hough_over["hough_center_stride"] = args.center_stride
+    if args.refine_window is not None:
+        hough_over["hough_refine_window"] = args.refine_window
+    if hough_over:
+        base_cfg = dataclasses.replace(base_cfg, **hough_over)
 
     def stage_trunk(p, r):
         net = vgg_trunk(p, r.astype(jnp.float32) - means,
